@@ -1,0 +1,228 @@
+"""Config / flag system.
+
+Two-pass parsing with YAML overlay, mirroring the reference's de-facto flag
+system (`main_prog.py:68-331`): a first tiny parser extracts `--config
+<yaml>`, whose values become defaults for the full parser; resolved args are
+re-serialized to YAML into the run directory. Model *architecture* is also
+encoded in the model-name string `volo_h{H}_l{L}` (name-as-config,
+`main_prog.py:368-370`), parsed by `parse_variant_name`.
+
+Flag families and defaults track reference `main_prog.py:77-314`; flags that
+are CUDA-only in the reference (apex/native AMP, channels-last, pin-mem,
+torchscript) are kept as accepted-but-inert compatibility flags so reference
+launch scripts keep working, with TPU semantics noted in help strings.
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+from typing import Any, Dict, Tuple
+
+import yaml
+
+
+def parse_variant_name(name: str) -> Tuple[str, int, int]:
+    """'volo_h12_l18' -> ('volo', 12, 18). Reference `main_prog.py:368-370`."""
+    m = re.fullmatch(r"([a-zA-Z0-9]+)_h(\d+)_l(\d+)", name)
+    if not m:
+        raise ValueError(f"model name {name!r} does not match *_h<H>_l<L>")
+    return m.group(1), int(m.group(2)), int(m.group(3))
+
+
+def is_variant_name(name: str) -> bool:
+    return re.fullmatch(r"[a-zA-Z0-9]+_h\d+_l\d+", name) is not None
+
+
+def build_parser(prog: bool = False) -> argparse.ArgumentParser:
+    """Full training arg parser. `prog=True` adds the progressive/AutoProg
+    flag family (reference `main_prog.py:300-314`)."""
+    parser = argparse.ArgumentParser(description="autoprog_tpu training")
+
+    # Dataset / Model
+    g = parser.add_argument_group("data/model")
+    g.add_argument("data_dir", metavar="DIR", nargs="?", default="synthetic://",
+                   help="path to dataset root (or synthetic:// for generated data)")
+    g.add_argument("--dataset", "-d", default="", help="dataset type: '' (ImageFolder), 'synthetic'")
+    g.add_argument("--train-split", default="train")
+    g.add_argument("--val-split", default="validation")
+    g.add_argument("--model", default="volo_d1", type=str)
+    g.add_argument("--pretrained", action="store_true", default=False)
+    g.add_argument("--initial-checkpoint", default="", type=str)
+    g.add_argument("--resume", default="", type=str)
+    g.add_argument("--no-resume-opt", action="store_true", default=False)
+    g.add_argument("--num-classes", type=int, default=None)
+    g.add_argument("--gp", default=None, type=str)
+    g.add_argument("--img-size", type=int, default=None)
+    g.add_argument("--input-size", default=None, nargs=3, type=int)
+    g.add_argument("--crop-pct", default=None, type=float)
+    g.add_argument("--mean", type=float, nargs="+", default=None)
+    g.add_argument("--std", type=float, nargs="+", default=None)
+    g.add_argument("--interpolation", default="", type=str)
+    g.add_argument("-b", "--batch-size", type=int, default=128,
+                   help="global batch size per data-parallel step (per-host share is derived)")
+    g.add_argument("-vb", "--validation-batch-size-multiplier", type=int, default=1)
+
+    # Optimizer
+    g = parser.add_argument_group("optimizer")
+    g.add_argument("--opt", default="adamw", type=str)
+    g.add_argument("--opt-eps", default=None, type=float)
+    g.add_argument("--opt-betas", default=None, type=float, nargs="+")
+    g.add_argument("--momentum", type=float, default=0.9)
+    g.add_argument("--weight-decay", type=float, default=0.05)
+    g.add_argument("--clip-grad", type=float, default=None)
+    g.add_argument("--clip-mode", type=str, default="norm",
+                   help="gradient clipping mode: norm, value, agc")
+
+    # LR schedule
+    g = parser.add_argument_group("lr schedule")
+    g.add_argument("--sched", default="cosine", type=str)
+    g.add_argument("--lr", type=float, default=1.6e-3)
+    g.add_argument("--lr-cycle-mul", type=float, default=1.0)
+    g.add_argument("--lr-cycle-limit", type=int, default=1)
+    g.add_argument("--warmup-lr", type=float, default=1e-6)
+    g.add_argument("--min-lr", type=float, default=1e-5)
+    g.add_argument("--epochs", type=int, default=300)
+    g.add_argument("--start-epoch", default=None, type=int)
+    g.add_argument("--decay-epochs", type=float, default=30)
+    g.add_argument("--warmup-epochs", type=int, default=20)
+    g.add_argument("--cooldown-epochs", type=int, default=10)
+    g.add_argument("--patience-epochs", type=int, default=10)
+    g.add_argument("--decay-rate", "--dr", type=float, default=0.1)
+
+    # Augmentation / regularization
+    g = parser.add_argument_group("aug/reg")
+    g.add_argument("--no-aug", action="store_true", default=False)
+    g.add_argument("--scale", type=float, nargs="+", default=[0.08, 1.0])
+    g.add_argument("--ratio", type=float, nargs="+", default=[3.0 / 4.0, 4.0 / 3.0])
+    g.add_argument("--hflip", type=float, default=0.5)
+    g.add_argument("--vflip", type=float, default=0.0)
+    g.add_argument("--color-jitter", type=float, default=0.0)
+    g.add_argument("--aa", type=str, default="rand-m9-mstd0.5-inc1")
+    g.add_argument("--reprob", type=float, default=0.25)
+    g.add_argument("--remode", type=str, default="pixel")
+    g.add_argument("--recount", type=int, default=1)
+    g.add_argument("--mixup", type=float, default=0.0)
+    g.add_argument("--cutmix", type=float, default=0.0)
+    g.add_argument("--cutmix-minmax", type=float, nargs="+", default=None)
+    g.add_argument("--mixup-prob", type=float, default=1.0)
+    g.add_argument("--mixup-switch-prob", type=float, default=0.5)
+    g.add_argument("--mixup-mode", type=str, default="batch")
+    g.add_argument("--mixup-off-epoch", default=0, type=int)
+    g.add_argument("--smoothing", type=float, default=0.1)
+    g.add_argument("--train-interpolation", type=str, default="random")
+    g.add_argument("--drop", type=float, default=0.0)
+    g.add_argument("--drop-path", type=float, default=None)
+
+    # BatchNorm (VOLO conv stem only)
+    g = parser.add_argument_group("bn")
+    g.add_argument("--bn-momentum", type=float, default=None)
+    g.add_argument("--bn-eps", type=float, default=None)
+    g.add_argument("--sync-bn", action="store_true",
+                   help="cross-replica batch stats in the stem BN (lax.pmean over the data axis)")
+    g.add_argument("--dist-bn", type=str, default="",
+                   help="sync BN running stats across replicas each epoch ('reduce' or 'broadcast')")
+
+    # EMA
+    g = parser.add_argument_group("ema")
+    g.add_argument("--model-ema", action="store_true", default=False)
+    g.add_argument("--model-ema-decay", nargs="+", type=float, default=[0.99992],
+                   help="one EMA tree is kept per decay value")
+
+    # Misc
+    g = parser.add_argument_group("misc")
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--log-interval", type=int, default=50)
+    g.add_argument("--recovery-interval", type=int, default=0)
+    g.add_argument("--checkpoint-hist", type=int, default=10)
+    g.add_argument("-j", "--workers", type=int, default=8)
+    g.add_argument("--amp", action="store_true", default=False,
+                   help="compat flag; TPU always trains bf16-compute/f32-params")
+    g.add_argument("--apex-amp", action="store_true", default=False, help="compat no-op")
+    g.add_argument("--native-amp", action="store_true", default=False, help="compat no-op")
+    g.add_argument("--no-bf16", action="store_true", default=False,
+                   help="compute in f32 instead of bf16")
+    g.add_argument("--channels-last", action="store_true", default=False, help="compat no-op")
+    g.add_argument("--pin-mem", action="store_true", default=False, help="compat no-op")
+    g.add_argument("--no-prefetcher", action="store_true", default=False)
+    g.add_argument("--output", default="", type=str)
+    g.add_argument("--eval-metric", default="top1", type=str)
+    g.add_argument("--tta", type=int, default=0)
+    g.add_argument("--local_rank", default=0, type=int, help="compat no-op (JAX is SPMD)")
+    g.add_argument("--save-images", action="store_true", default=False)
+    g.add_argument("--fake-data-size", type=int, default=1024,
+                   help="samples per epoch for synthetic:// data")
+    g.add_argument("--log-wandb", action="store_true", default=False, help="compat no-op")
+
+    # Token labeling
+    g = parser.add_argument_group("token labeling")
+    g.add_argument("--token-label", action="store_true", default=False)
+    g.add_argument("--token-label-data", type=str, default="")
+    g.add_argument("--token-label-size", type=int, default=1)
+    g.add_argument("--dense-weight", type=float, default=0.5)
+    g.add_argument("--cls-weight", type=float, default=1.0)
+    g.add_argument("--ground-truth", action="store_true", default=False)
+
+    # Finetune
+    parser.add_argument("--finetune", default="", type=str)
+
+    if prog:
+        g = parser.add_argument_group("progressive/autoprog")
+        g.add_argument("--r-scale", type=float, default=0.5)
+        g.add_argument("--h-scale", type=float, default=1.0)
+        g.add_argument("--l-scale", type=float, default=0.5)
+        g.add_argument("--aa-scale", type=float, default=0.0)
+        g.add_argument("--dp-scale", type=float, default=-0.5)
+        g.add_argument("--re-scale", type=float, default=-0.5)
+        g.add_argument("--resize-scale", type=float, nargs="+", default=[1.0, 1.0])
+        g.add_argument("--num-stages", type=int, default=4)
+        g.add_argument("--load-with-clone", default=False, action="store_true",
+                       help="grow weights by clone+noise remapping")
+        g.add_argument("--load-with-clone-ema", default=False, action="store_true",
+                       help="grow weights by stitching >=4 EMA trees")
+        g.add_argument("--batch-splits-list", type=int, nargs="+", default=[1])
+        g.add_argument("--auto-grow", default=False, action="store_true")
+        g.add_argument("--search-epochs", type=int, default=1)
+    return parser
+
+
+def parse_args(argv=None, prog: bool = False) -> Tuple[argparse.Namespace, str]:
+    """Two-pass parse: YAML config file sets defaults for the main parser.
+
+    Returns (args, args_yaml_text). Mirrors `_parse_args`
+    (`main_prog.py:317-331`).
+    """
+    config_parser = argparse.ArgumentParser(add_help=False)
+    config_parser.add_argument("-c", "--config", default="", type=str)
+    args_config, remaining = config_parser.parse_known_args(argv)
+
+    parser = build_parser(prog=prog)
+    if args_config.config:
+        with open(args_config.config) as f:
+            cfg = yaml.safe_load(f)
+        parser.set_defaults(**cfg)
+    args = parser.parse_args(remaining)
+    args_text = yaml.safe_dump(args.__dict__, default_flow_style=False)
+    return args, args_text
+
+
+def resolve_data_config(args, model_cfg: Dict[str, Any] | None = None) -> Dict[str, Any]:
+    """Resolve image input/eval config from flags + model defaults, mirroring
+    timm's resolve_data_config used at `main_prog.py:445-447`."""
+    model_cfg = dict(model_cfg or {})
+    input_size = (3, 224, 224)
+    if args.input_size is not None:
+        input_size = tuple(args.input_size)
+    elif args.img_size is not None:
+        input_size = (3, args.img_size, args.img_size)
+    elif "input_size" in model_cfg:
+        input_size = tuple(model_cfg["input_size"])
+    imagenet_mean = (0.485, 0.456, 0.406)
+    imagenet_std = (0.229, 0.224, 0.225)
+    return dict(
+        input_size=input_size,
+        interpolation=args.interpolation or model_cfg.get("interpolation", "bicubic"),
+        mean=tuple(args.mean) if args.mean else model_cfg.get("mean", imagenet_mean),
+        std=tuple(args.std) if args.std else model_cfg.get("std", imagenet_std),
+        crop_pct=args.crop_pct or model_cfg.get("crop_pct", 0.96),
+    )

@@ -1,0 +1,112 @@
+"""Loss functions (parity with reference `loss/cross_entropy.py`).
+
+All losses are pure functions of (model outputs, targets); token-label
+losses consume the VOLO training triple (x_cls, x_aux, bbox) and
+reconstruct the MixToken lambda from the bbox exactly as the reference does
+(`loss/cross_entropy.py:149-151`). Cross-entropy accumulates in f32
+regardless of the compute dtype.
+
+Target formats:
+  * soft targets: [B, C] probability rows;
+  * token-label maps: [B, C_slots, N] where slot 0 is the ground-truth row,
+    slot 1 the cls soft target and slots 2: the dense per-token targets
+    (the tlt layout the reference indexes at `loss/cross_entropy.py:72-79`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _soft_ce(logits: jax.Array, target: jax.Array) -> jax.Array:
+    """Mean over batch of sum(-target * log_softmax(logits))
+    (`loss/cross_entropy.py:21-36`), with target batch-repeat broadcast."""
+    logits = logits.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    if target.shape[0] != logits.shape[0]:
+        reps = logits.shape[0] // target.shape[0]
+        target = jnp.tile(target, (reps, 1))
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return jnp.mean(jnp.sum(-target * logp, axis=-1))
+
+
+def soft_target_cross_entropy(logits: jax.Array, target: jax.Array) -> jax.Array:
+    return _soft_ce(logits, target)
+
+
+def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Hard-label CE (the reference's validate loss, `main_prog.py:734`)."""
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+
+def _mix_cls_target(target_cls: jax.Array, bbox: jax.Array,
+                    num_tokens: int) -> jax.Array:
+    """Flip-mix the cls target by the lambda reconstructed from the MixToken
+    bbox (`loss/cross_entropy.py:149-151`); identity when the box is empty."""
+    area = ((bbox[2] - bbox[0]) * (bbox[3] - bbox[1])).astype(jnp.float32)
+    lam = 1.0 - area / float(num_tokens)
+    return lam * target_cls + (1.0 - lam) * jnp.flip(target_cls, axis=0)
+
+
+def token_label_cross_entropy(outputs, target, *, dense_weight: float = 0.5,
+                              cls_weight: float = 1.0) -> jax.Array:
+    """TokenLabelCrossEntropy (`loss/cross_entropy.py:112-156`)."""
+    x_cls, x_aux, bbox = outputs
+    B, N, C = x_aux.shape
+    if target.ndim == 2:
+        target_cls = target
+        target_aux = jnp.tile(target[:, None, :], (1, N, 1)).reshape(B * N, C)
+    else:
+        target_cls = target[:, :, 1]
+        target_aux = jnp.swapaxes(target[:, :, 2:], 1, 2).reshape(-1, C)
+    target_cls = _mix_cls_target(target_cls, bbox, N)
+    loss_cls = _soft_ce(x_cls, target_cls)
+    loss_aux = _soft_ce(x_aux.reshape(-1, C), target_aux)
+    return cls_weight * loss_cls + dense_weight * loss_aux
+
+
+def token_label_gt_cross_entropy(outputs, target, *, dense_weight: float = 0.5,
+                                 cls_weight: float = 1.0) -> jax.Array:
+    """TokenLabelGTCrossEntropy (`loss/cross_entropy.py:39-89`): blends the
+    soft cls target with the ground-truth row at 0.9/0.5 confidence
+    depending on whether their argmaxes agree."""
+    x_cls, x_aux, bbox = outputs
+    B, N, C = x_aux.shape
+    if target.ndim == 2:
+        target_cls = target
+        target_aux = jnp.tile(target[:, None, :], (1, N, 1)).reshape(B * N, C)
+    else:
+        ground_truth = target[:, :, 0]
+        target_cls = target[:, :, 1]
+        agree = (jnp.argmax(ground_truth, -1) == jnp.argmax(target_cls, -1))
+        ratio = (0.9 - 0.4 * agree.astype(jnp.float32))[:, None]
+        target_cls = target_cls * ratio + ground_truth * (1.0 - ratio)
+        target_aux = jnp.swapaxes(target[:, :, 2:], 1, 2).reshape(-1, C)
+    target_cls = _mix_cls_target(target_cls, bbox, N)
+    loss_cls = _soft_ce(x_cls, target_cls)
+    loss_aux = _soft_ce(x_aux.reshape(-1, C), target_aux)
+    return cls_weight * loss_cls + dense_weight * loss_aux
+
+
+def token_label_soft_target_cross_entropy(logits, target) -> jax.Array:
+    """TokenLabelSoftTargetCrossEntropy (`loss/cross_entropy.py:92-109`):
+    plain soft CE that accepts relabel-style [B, N, 2] targets."""
+    if target.ndim == 3 and target.shape[-1] == 2:
+        target = target[:, :, 1]
+    return _soft_ce(logits, target)
+
+
+def build_train_loss(args):
+    """Pick the training loss from flags (`main_prog.py:712-733`)."""
+    if args.token_label:
+        if args.token_label_size == 1:
+            return lambda out, tgt: token_label_soft_target_cross_entropy(
+                out[0] if isinstance(out, tuple) else out, tgt)
+        fn = token_label_gt_cross_entropy if args.ground_truth else token_label_cross_entropy
+        dw, cw = args.dense_weight, args.cls_weight
+        return lambda out, tgt: fn(out, tgt, dense_weight=dw, cls_weight=cw)
+    return lambda out, tgt: soft_target_cross_entropy(
+        out[0] if isinstance(out, tuple) else out, tgt)

@@ -1,0 +1,112 @@
+"""Model forward-pass tests: shapes, train/eval structure, elasticity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autoprog_tpu.prog.depth import elastic_keep_masks, full_keep_masks
+from autoprog_tpu.registry import create_model
+
+
+def init_model(mdef, img_size=64, num_classes=10, **kw):
+    model = mdef.make(num_classes=num_classes, img_size=img_size,
+                      dtype=jnp.float32, **kw)
+    x = jnp.zeros((2, img_size, img_size, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "mixtoken": jax.random.PRNGKey(2)},
+        x, train=True)
+    return model, variables
+
+
+def test_volo_variant_forward_shapes():
+    mdef = create_model("volo_h4_l4")
+    model, variables = init_model(mdef, img_size=64)
+    x = jnp.ones((2, 64, 64, 3))
+    # train: (x_cls, x_aux, bbox) + batch_stats mutation
+    (x_cls, x_aux, bbox), mutated = model.apply(
+        variables, x, train=True,
+        rngs={"dropout": jax.random.PRNGKey(3),
+              "mixtoken": jax.random.PRNGKey(4)},
+        mutable=["batch_stats"])
+    assert x_cls.shape == (2, 10)
+    # tokens: 64/8/2 = 4 -> 16 aux tokens
+    assert x_aux.shape == (2, 16, 10)
+    assert bbox.shape == (4,)
+    # eval: fused logits
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 10)
+
+
+def test_volo_resolution_elasticity():
+    mdef = create_model("volo_h4_l4")
+    model, variables = init_model(mdef, img_size=64)
+    for r in (32, 64, 96):
+        out = model.apply(variables, jnp.ones((1, r, r, 3)), train=False)
+        assert out.shape == (1, 10)
+
+
+def test_volo_elastic_depth_changes_function():
+    mdef = create_model("volo_h4_l8")  # l0=2, transformers=6
+    model, variables = init_model(mdef, img_size=64)
+    x = jnp.linspace(0, 1, 64 * 64 * 3).reshape(1, 64, 64, 3)
+    full = model.apply(variables, x, train=False)
+    keep = elastic_keep_masks(6, min_layer_num=6, max_layer_num=8)
+    sub = model.apply(variables, x, train=False, keep=keep)
+    assert sub.shape == full.shape
+    assert not np.allclose(np.asarray(sub), np.asarray(full))
+
+
+def test_volo_keep_all_equals_default():
+    mdef = create_model("volo_h4_l4")
+    model, variables = init_model(mdef, img_size=64)
+    x = jnp.ones((1, 64, 64, 3))
+    a = model.apply(variables, x, train=False)
+    b = model.apply(variables, x, train=False, keep=full_keep_masks(4))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_deit_forward():
+    mdef = create_model("deit_tiny_patch16_224")
+    model, variables = init_model(mdef, img_size=64)
+    x = jnp.ones((2, 64, 64, 3))
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 10)
+    out_t = model.apply(variables, x, train=True,
+                        rngs={"dropout": jax.random.PRNGKey(0)})
+    assert out_t.shape == (2, 10)
+
+
+def test_deit_distilled_forward():
+    mdef = create_model("deit_tiny_distilled_patch16_224")
+    model, variables = init_model(mdef, img_size=64)
+    x = jnp.ones((2, 64, 64, 3))
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 10)
+    x_cls, x_dist = model.apply(variables, x, train=True,
+                                rngs={"dropout": jax.random.PRNGKey(0)})
+    assert x_cls.shape == x_dist.shape == (2, 10)
+
+
+def test_deit_variant_and_depth_mask():
+    mdef = create_model("deit_h2_l4")
+    model, variables = init_model(mdef, img_size=32)
+    x = jnp.ones((1, 32, 32, 3))
+    full = model.apply(variables, x, train=False)
+    sub = model.apply(variables, x, train=False,
+                      keep=((True, False, True, False),))
+    assert full.shape == sub.shape == (1, 10)
+    assert not np.allclose(np.asarray(full), np.asarray(sub))
+
+
+def test_volo_d1_param_count():
+    """VOLO-D1 should land at ~27M params (reference models/volo.py:700)."""
+    mdef = create_model("volo_d1")
+    model = mdef.make(num_classes=1000, img_size=224, dtype=jnp.float32)
+    x = jnp.zeros((1, 224, 224, 3))
+    variables = jax.eval_shape(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, x, train=False))
+    n = sum(np.prod(v.shape) for v in
+            jax.tree.leaves(variables["params"]))
+    assert 25e6 < n < 30e6, f"param count {n}"
