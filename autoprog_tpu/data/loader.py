@@ -1,0 +1,236 @@
+"""Input pipeline: multiprocess decode/augment workers + device prefetch.
+
+TPU-native replacement for the timm/tlt loader stack (`create_loader` /
+`create_token_label_loader` + prefetcher, `main_prog.py:640-708`; native
+component 6 in SURVEY §2.3). Differences by design:
+
+  * per-host sharding of a globally-shuffled index stream replaces
+    DistributedSampler (`set_epoch` reshuffles with a seed every epoch so
+    all hosts derive the same permutation, `main_prog.py:861-862`);
+  * workers are a fork Pool decoding with PIL/numpy; batches prefetch
+    through a background thread so host aug overlaps device compute
+    (pinned-memory H2D prefetch has no TPU analogue — `shard_batch` does
+    the transfer);
+  * token-label maps are cropped/flipped with the image's own crop params
+    and resampled to a fixed grid, keeping batch shapes static for XLA.
+
+A libjpeg-turbo C++ decode path can slot in behind the same worker fn.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from autoprog_tpu.data.dataset import FixedAugDataset
+from autoprog_tpu.data.mixup import Mixup
+from autoprog_tpu.data.transforms import CropParams, EvalTransform, TrainTransform
+
+_WORKER_STATE = {}
+
+
+def _worker_init(dataset, transform, label_map_hw):
+    _WORKER_STATE["dataset"] = dataset
+    _WORKER_STATE["transform"] = transform
+    _WORKER_STATE["label_map_hw"] = label_map_hw
+
+
+def crop_label_maps(scores: np.ndarray, inds: np.ndarray, cp: CropParams,
+                    out_hw: int) -> tuple:
+    """Nearest-resample the top-K maps to the crop region at a fixed grid."""
+    K, Hm, Wm = scores.shape
+    ys = (cp.top + (np.arange(out_hw) + 0.5) * cp.height / out_hw)
+    xs = (cp.left + (np.arange(out_hw) + 0.5) * cp.width / out_hw)
+    yi = np.clip((ys * Hm / cp.src_h).astype(np.int64), 0, Hm - 1)
+    xi = np.clip((xs * Wm / cp.src_w).astype(np.int64), 0, Wm - 1)
+    s = scores[:, yi][:, :, xi]
+    ix = inds[:, yi][:, :, xi]
+    if cp.hflip:
+        s, ix = s[:, :, ::-1], ix[:, :, ::-1]
+    if cp.vflip:
+        s, ix = s[:, ::-1], ix[:, ::-1]
+    return np.ascontiguousarray(s), np.ascontiguousarray(ix)
+
+
+def _load_one(args):
+    idx, seed = args
+    ds = _WORKER_STATE["dataset"]
+    tf = _WORKER_STATE["transform"]
+    map_hw = _WORKER_STATE["label_map_hw"]
+    img, label, maps = ds.load(idx)
+    if isinstance(tf, EvalTransform):
+        return tf(img), label, None
+    if isinstance(ds, FixedAugDataset):
+        rng = ds.aug_rng(idx, 0)
+    else:
+        rng = np.random.default_rng(seed)
+    x, cp = tf(img, rng)
+    out_maps = None
+    if maps is not None:
+        out_maps = crop_label_maps(maps[0], maps[1], cp, map_hw)
+    return x, label, out_maps
+
+
+class Loader:
+    def __init__(self, dataset, *, batch_size: int, is_training: bool,
+                 transform, mixup: Optional[Mixup] = None,
+                 num_workers: int = 4, seed: int = 42,
+                 label_map_hw: int = 14, drop_last: Optional[bool] = None,
+                 process_index: int = 0, process_count: int = 1,
+                 prefetch: int = 3):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.is_training = is_training
+        self.transform = transform
+        self.mixup = mixup
+        self.num_workers = num_workers
+        self.seed = seed
+        self.label_map_hw = label_map_hw
+        self.drop_last = is_training if drop_last is None else drop_last
+        self.process_index = process_index
+        self.process_count = process_count
+        self.prefetch = prefetch
+        self.epoch = 0
+        self._pool = None
+
+    # -- sampler -----------------------------------------------------------
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.is_training:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        mine = order[self.process_index::self.process_count]
+        if self.drop_last:
+            usable = (len(mine) // self.batch_size) * self.batch_size
+            mine = mine[:usable]
+        return mine
+
+    def __len__(self) -> int:
+        mine = len(self._indices())
+        if self.drop_last:
+            return mine // self.batch_size
+        return (mine + self.batch_size - 1) // self.batch_size
+
+    # -- workers -----------------------------------------------------------
+
+    def _ensure_pool(self):
+        if self.num_workers > 0 and self._pool is None:
+            import multiprocessing as mp
+            ctx = mp.get_context("fork")
+            self._pool = ctx.Pool(
+                self.num_workers, initializer=_worker_init,
+                initargs=(self.dataset, self.transform, self.label_map_hw))
+        if self.num_workers == 0 and not _WORKER_STATE.get("inline"):
+            _worker_init(self.dataset, self.transform, self.label_map_hw)
+            _WORKER_STATE["inline"] = True
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool = None
+
+    # -- iteration ---------------------------------------------------------
+
+    def _collate(self, samples) -> Dict[str, np.ndarray]:
+        xs, labels, maps = zip(*samples)
+        batch: Dict[str, np.ndarray] = {
+            "image": np.stack(xs).astype(np.float32),
+            "label": np.asarray(labels, np.int32),
+        }
+        if maps[0] is not None:
+            batch["label_scores"] = np.stack([m[0] for m in maps])
+            batch["label_inds"] = np.stack([m[1] for m in maps])
+        if self.is_training and self.mixup is not None:
+            rng = np.random.default_rng(
+                (self.seed, self.epoch, int(labels[0]), len(samples)))
+            batch = self.mixup(batch, rng)
+        return batch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        self._ensure_pool()
+        if self.num_workers == 0:
+            # refresh inline state (transform may have changed between stages)
+            _worker_init(self.dataset, self.transform, self.label_map_hw)
+        idxs = self._indices()
+        base = np.random.SeedSequence([self.seed, self.epoch]).generate_state(1)[0]
+        args = [(int(i), int(base) + int(i)) for i in idxs]
+        nb = len(self)
+
+        def batches_of(it):
+            buf = []
+            for s in it:
+                buf.append(s)
+                if len(buf) == self.batch_size:
+                    yield self._collate(buf)
+                    buf = []
+            if buf and not self.drop_last:
+                yield self._collate(buf)
+
+        if self.num_workers == 0:
+            yield from batches_of(map(_load_one, args))
+            return
+
+        it = self._pool.imap(_load_one, args, chunksize=8)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        DONE = object()
+
+        def feeder():
+            try:
+                for b in batches_of(it):
+                    q.put(b)
+            finally:
+                q.put(DONE)
+
+        t = threading.Thread(target=feeder, daemon=True)
+        t.start()
+        produced = 0
+        while True:
+            b = q.get()
+            if b is DONE:
+                break
+            produced += 1
+            yield b
+        t.join()
+        assert not self.drop_last or produced == nb
+
+
+def create_loader(dataset, *, input_size: int, batch_size: int,
+                  is_training: bool, re_prob: float = 0.0,
+                  re_mode: str = "pixel", re_count: int = 1,
+                  scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3), hflip: float = 0.5,
+                  vflip: float = 0.0, color_jitter: float = 0.0,
+                  auto_augment: str = "", interpolation: str = "random",
+                  mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
+                  num_workers: int = 4, crop_pct: float = 0.96,
+                  mixup: Optional[Mixup] = None, seed: int = 42,
+                  no_aug: bool = False, process_index: int = 0,
+                  process_count: int = 1) -> Loader:
+    """Loader factory mirroring `create_token_label_loader`/`create_loader`
+    call sites (`main_prog.py:640-708`, `main_prog.py:1443-1530`)."""
+    from autoprog_tpu.data.transforms import RandAugment
+
+    if is_training and not no_aug:
+        tf = TrainTransform(
+            size=input_size, scale=tuple(scale), ratio=tuple(ratio),
+            hflip=hflip, vflip=vflip, color_jitter=color_jitter,
+            rand_augment=RandAugment.from_policy(auto_augment),
+            re_prob=re_prob, re_mode=re_mode, re_count=re_count,
+            interpolation=interpolation, mean=tuple(mean), std=tuple(std))
+    else:
+        tf = EvalTransform(size=input_size, crop_pct=crop_pct,
+                           interpolation="bicubic" if interpolation in
+                           ("", "random") else interpolation,
+                           mean=tuple(mean), std=tuple(std))
+    return Loader(dataset, batch_size=batch_size, is_training=is_training,
+                  transform=tf, mixup=mixup, num_workers=num_workers,
+                  seed=seed, process_index=process_index,
+                  process_count=process_count)

@@ -1,0 +1,287 @@
+"""Host-side image transforms (PIL + numpy).
+
+Replaces the timm transform stack the reference's loaders assemble
+(`timm.create_loader` with RandAugment / random-resized-crop / random-erase,
+`main_prog.py:640-708`; SURVEY §2.2). Self-contained so the input pipeline
+has no torch/timm dependency:
+
+  * RandomResizedCrop with the (scale, ratio) sampling loop and selectable
+    interpolation ('random' picks bilinear/bicubic per sample, matching
+    `--train-interpolation random`);
+  * RandAugment for `rand-m{M}-mstd0.5-inc{0,1}` policy strings — the only
+    family the progressive schedule emits (`prog/progressive.py:23-26`);
+  * per-pixel random erasing (timm `--remode pixel` semantics) applied on
+    the normalized array;
+  * eval center-crop at crop_pct (`validate.py` protocol, crop_pct 0.96
+    for VOLO — `models/volo.py:36`).
+
+Every transform consumes an explicit `np.random.Generator` so worker
+determinism is seed-controlled, and the crop/flip parameters are returned
+so token-label maps can be cropped consistently (tlt behavior).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image, ImageEnhance, ImageOps
+
+INTERP = {"bilinear": Image.BILINEAR, "bicubic": Image.BICUBIC,
+          "nearest": Image.NEAREST}
+
+
+def _pick_interp(name: str, rng: np.random.Generator):
+    if name == "random":
+        return INTERP["bilinear"] if rng.random() < 0.5 else INTERP["bicubic"]
+    return INTERP.get(name, Image.BICUBIC)
+
+
+@dataclass
+class CropParams:
+    top: int
+    left: int
+    height: int
+    width: int
+    hflip: bool
+    vflip: bool
+    src_h: int
+    src_w: int
+
+
+def sample_resized_crop(img_h: int, img_w: int, scale, ratio,
+                        rng: np.random.Generator) -> Tuple[int, int, int, int]:
+    """Sample a (top, left, h, w) crop box; falls back to a center crop at
+    the clamped aspect ratio after 10 rejected draws."""
+    area = img_h * img_w
+    log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
+    for _ in range(10):
+        target_area = area * rng.uniform(scale[0], scale[1])
+        aspect = math.exp(rng.uniform(*log_ratio))
+        w = int(round(math.sqrt(target_area * aspect)))
+        h = int(round(math.sqrt(target_area / aspect)))
+        if 0 < w <= img_w and 0 < h <= img_h:
+            top = int(rng.integers(0, img_h - h + 1))
+            left = int(rng.integers(0, img_w - w + 1))
+            return top, left, h, w
+    in_ratio = img_w / img_h
+    if in_ratio < ratio[0]:
+        w, h = img_w, int(round(img_w / ratio[0]))
+    elif in_ratio > ratio[1]:
+        h, w = img_h, int(round(img_h * ratio[1]))
+    else:
+        w, h = img_w, img_h
+    return (img_h - h) // 2, (img_w - w) // 2, h, w
+
+
+# --------------------------- RandAugment ----------------------------------
+
+_MAX_LEVEL = 10.0
+
+
+def _enhance(factor_cls):
+    def op(img, mag):
+        return factor_cls(img).enhance(1.0 + mag)
+    return op
+
+
+def _shear(axis):
+    def op(img, mag):
+        c = (1, mag, 0, 0, 1, 0) if axis == 0 else (1, 0, 0, mag, 1, 0)
+        return img.transform(img.size, Image.AFFINE, c, Image.BILINEAR,
+                             fillcolor=(128, 128, 128))
+    return op
+
+
+def _translate(axis):
+    def op(img, mag):
+        d = int(mag * (img.size[0] if axis == 0 else img.size[1]))
+        c = (1, 0, d, 0, 1, 0) if axis == 0 else (1, 0, 0, 0, 1, d)
+        return img.transform(img.size, Image.AFFINE, c, Image.BILINEAR,
+                             fillcolor=(128, 128, 128))
+    return op
+
+
+def _solarize_add(img, add):
+    lut = [min(255, i + int(add)) if i < 128 else i for i in range(256)]
+    return img.point(lut * len(img.getbands()))
+
+
+def _level_signed(level, rng, maxval):
+    v = level / _MAX_LEVEL * maxval
+    return -v if rng.random() < 0.5 else v
+
+
+# (name, apply(img, magnitude), magnitude_fn(level, rng))
+_RA_OPS = [
+    ("AutoContrast", lambda im, m: ImageOps.autocontrast(im), lambda l, r: 0),
+    ("Equalize", lambda im, m: ImageOps.equalize(im), lambda l, r: 0),
+    ("Invert", lambda im, m: ImageOps.invert(im), lambda l, r: 0),
+    ("Rotate", lambda im, m: im.rotate(m, Image.BILINEAR,
+                                       fillcolor=(128, 128, 128)),
+     lambda l, r: _level_signed(l, r, 30.0)),
+    ("Posterize", lambda im, m: ImageOps.posterize(im, max(1, int(m))),
+     lambda l, r: 8 - 4 * l / _MAX_LEVEL),            # increasing severity
+    ("Solarize", lambda im, m: ImageOps.solarize(im, int(m)),
+     lambda l, r: 256 - 256 * l / _MAX_LEVEL),        # increasing severity
+    ("SolarizeAdd", _solarize_add, lambda l, r: 110 * l / _MAX_LEVEL),
+    ("Color", _enhance(ImageEnhance.Color),
+     lambda l, r: _level_signed(l, r, 0.9)),
+    ("Contrast", _enhance(ImageEnhance.Contrast),
+     lambda l, r: _level_signed(l, r, 0.9)),
+    ("Brightness", _enhance(ImageEnhance.Brightness),
+     lambda l, r: _level_signed(l, r, 0.9)),
+    ("Sharpness", _enhance(ImageEnhance.Sharpness),
+     lambda l, r: _level_signed(l, r, 0.9)),
+    ("ShearX", _shear(0), lambda l, r: _level_signed(l, r, 0.3)),
+    ("ShearY", _shear(1), lambda l, r: _level_signed(l, r, 0.3)),
+    ("TranslateX", _translate(0), lambda l, r: _level_signed(l, r, 0.45)),
+    ("TranslateY", _translate(1), lambda l, r: _level_signed(l, r, 0.45)),
+]
+
+
+@dataclass
+class RandAugment:
+    magnitude: float = 9.0
+    mstd: float = 0.5
+    num_layers: int = 2
+    prob: float = 0.5
+
+    @classmethod
+    def from_policy(cls, policy: str) -> Optional["RandAugment"]:
+        """Parse 'rand-m{M}-mstd{S}-inc1' (empty/None disables)."""
+        if not policy:
+            return None
+        m = re.fullmatch(r"rand-m(\d+(?:\.\d+)?)(?:-mstd(\d+(?:\.\d+)?))?"
+                         r"(?:-inc\d)?", policy)
+        if not m:
+            raise ValueError(f"unsupported RandAugment policy {policy!r}")
+        return cls(magnitude=float(m.group(1)),
+                   mstd=float(m.group(2) or 0.0))
+
+    def __call__(self, img: Image.Image, rng: np.random.Generator):
+        idx = rng.integers(0, len(_RA_OPS), size=self.num_layers)
+        for i in idx:
+            if rng.random() > self.prob:
+                continue
+            name, apply_fn, mag_fn = _RA_OPS[int(i)]
+            level = self.magnitude
+            if self.mstd > 0:
+                level = level + rng.normal(0, self.mstd)
+            level = float(np.clip(level, 0, _MAX_LEVEL))
+            img = apply_fn(img, mag_fn(level, rng))
+        return img
+
+
+# --------------------------- random erasing -------------------------------
+
+@dataclass
+class RandomErasing:
+    prob: float = 0.0
+    mode: str = "pixel"
+    count: int = 1
+    area: Tuple[float, float] = (0.02, 1 / 3)
+    aspect: Tuple[float, float] = (0.3, 10 / 3)
+
+    def __call__(self, x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        """x: [H, W, C] normalized float array (erased in place)."""
+        if self.prob <= 0 or rng.random() > self.prob:
+            return x
+        H, W, C = x.shape
+        for _ in range(self.count):
+            for _ in range(10):
+                a = rng.uniform(*self.area) * H * W
+                r = math.exp(rng.uniform(math.log(self.aspect[0]),
+                                         math.log(self.aspect[1])))
+                h = int(round(math.sqrt(a * r)))
+                w = int(round(math.sqrt(a / r)))
+                if h < H and w < W and h > 0 and w > 0:
+                    top = int(rng.integers(0, H - h + 1))
+                    left = int(rng.integers(0, W - w + 1))
+                    if self.mode == "pixel":
+                        patch = rng.normal(size=(h, w, C)).astype(x.dtype)
+                    elif self.mode == "const":
+                        patch = 0.0
+                    else:  # 'rand': one random value per region
+                        patch = rng.normal(size=(1, 1, C)).astype(x.dtype)
+                    x[top:top + h, left:left + w] = patch
+                    break
+        return x
+
+
+# --------------------------- pipelines ------------------------------------
+
+@dataclass
+class TrainTransform:
+    size: int
+    scale: Tuple[float, float] = (0.08, 1.0)
+    ratio: Tuple[float, float] = (3 / 4, 4 / 3)
+    hflip: float = 0.5
+    vflip: float = 0.0
+    color_jitter: float = 0.0
+    rand_augment: Optional[RandAugment] = None
+    re_prob: float = 0.0
+    re_mode: str = "pixel"
+    re_count: int = 1
+    interpolation: str = "random"
+    mean: Tuple[float, ...] = (0.485, 0.456, 0.406)
+    std: Tuple[float, ...] = (0.229, 0.224, 0.225)
+
+    def __call__(self, img: Image.Image, rng: np.random.Generator
+                 ) -> Tuple[np.ndarray, CropParams]:
+        img = img.convert("RGB")
+        src_w, src_h = img.size
+        top, left, h, w = sample_resized_crop(src_h, src_w, self.scale,
+                                              self.ratio, rng)
+        img = img.resize((self.size, self.size),
+                         _pick_interp(self.interpolation, rng),
+                         box=(left, top, left + w, top + h))
+        do_h = self.hflip > 0 and rng.random() < self.hflip
+        do_v = self.vflip > 0 and rng.random() < self.vflip
+        if do_h:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        if do_v:
+            img = img.transpose(Image.FLIP_TOP_BOTTOM)
+        if self.color_jitter:
+            for enh in (ImageEnhance.Brightness, ImageEnhance.Contrast,
+                        ImageEnhance.Color):
+                f = 1.0 + rng.uniform(-self.color_jitter, self.color_jitter)
+                img = enh(img).enhance(max(f, 0.0))
+        if self.rand_augment is not None:
+            img = self.rand_augment(img, rng)
+        x = np.asarray(img, np.float32) / 255.0
+        x = (x - np.asarray(self.mean, np.float32)) / np.asarray(
+            self.std, np.float32)
+        if self.re_prob > 0:
+            x = RandomErasing(self.re_prob, self.re_mode, self.re_count)(x, rng)
+        params = CropParams(top, left, h, w, do_h, do_v, src_h, src_w)
+        return x, params
+
+
+@dataclass
+class EvalTransform:
+    size: int = 224
+    crop_pct: float = 0.96
+    interpolation: str = "bicubic"
+    mean: Tuple[float, ...] = (0.485, 0.456, 0.406)
+    std: Tuple[float, ...] = (0.229, 0.224, 0.225)
+
+    def __call__(self, img: Image.Image) -> np.ndarray:
+        img = img.convert("RGB")
+        scale_size = int(math.floor(self.size / self.crop_pct))
+        w, h = img.size
+        if w <= h:
+            nw, nh = scale_size, int(round(scale_size * h / w))
+        else:
+            nw, nh = int(round(scale_size * w / h)), scale_size
+        img = img.resize((nw, nh), INTERP.get(self.interpolation,
+                                              Image.BICUBIC))
+        left = (nw - self.size) // 2
+        top = (nh - self.size) // 2
+        img = img.crop((left, top, left + self.size, top + self.size))
+        x = np.asarray(img, np.float32) / 255.0
+        return (x - np.asarray(self.mean, np.float32)) / np.asarray(
+            self.std, np.float32)

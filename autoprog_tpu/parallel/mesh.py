@@ -1,0 +1,84 @@
+"""Device mesh and sharding utilities.
+
+TPU-native replacement for the reference's distributed runtime layer
+(SURVEY §2.3/§5.8): where the reference launches one torch process per GPU
+and wraps the model in NCCL DDP (`main_prog.py:347-361,538-549`), here a
+single SPMD program runs over a `jax.sharding.Mesh`:
+
+  * the batch axis is sharded over the `data` mesh axis — XLA emits the
+    gradient all-reduce (psum over ICI) from the sharded loss, replacing
+    DDP bucketing/overlap;
+  * params/optimizer state are replicated over `data` (pure DP, matching
+    the reference's only parallelism strategy, SURVEY §2.4); an optional
+    `model` axis shards the wide MLP/attention weights of the larger VOLO
+    variants (tensor parallelism the reference does not have);
+  * metric reduction (`reduce_tensor`, `main_prog.py:1043`) is just a mean
+    over the already-global loss value — no explicit collective needed.
+
+Multi-host extends the same program over DCN via
+`jax.distributed.initialize` (call `maybe_init_distributed` once).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              model_parallel: int = 1) -> Mesh:
+    """1-D data mesh, optionally folding a model-parallel minor axis.
+
+    With model_parallel > 1 the mesh is (data, model) with `model` laid out
+    over adjacent devices so tensor-parallel collectives ride the shortest
+    ICI hops.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    arr = np.array(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over `data`."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a host batch pytree with the leading axis sharded over
+    `data` (the per-host loader feeds its local shard; see data/loader.py)."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    s = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def maybe_init_distributed() -> None:
+    """Initialize the multi-host JAX runtime when launched under a cluster
+    env (no-op single-host). DCN analogue of
+    `torch.distributed.init_process_group` (`main_prog.py:355`)."""
+    import os
+    if "COORDINATOR_ADDRESS" in os.environ and jax.process_count() == 1:
+        jax.distributed.initialize()
+
+
+def process_batch_slice(global_batch: int) -> slice:
+    """This host's slice of the global batch (DistributedSampler analogue)."""
+    per = global_batch // jax.process_count()
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)

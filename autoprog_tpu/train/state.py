@@ -1,0 +1,37 @@
+"""Training state pytree.
+
+One immutable pytree carries everything the reference scatters across
+mutable objects (model.parameters(), optimizer state, AMP scaler, the EMA
+model list, BN buffers): params, batch_stats (VOLO stem BN), optax state,
+a *tuple* of EMA trees (one per decay, `main_prog.py:507-514`), and the
+step counter. Stage growth builds a brand-new TrainState from remapped
+params with fresh optimizer state (moments intentionally reset,
+`main_prog.py:1301-1440`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array                 # int32 scalar, global update count
+    params: Any
+    batch_stats: Any                # {} for models without BN
+    opt_state: Any
+    ema_params: Tuple[Any, ...]     # one tree per EMA decay (may be empty)
+
+    @classmethod
+    def create(cls, *, params, batch_stats, tx, ema_decays=()):
+        import jax.numpy as jnp
+        opt_state = tx.init(params)
+        # EMA trees start as *copies* (not aliases) of the params so buffer
+        # donation in the train step never sees the same buffer twice
+        ema = tuple(jax.tree.map(jnp.copy, params) for _ in ema_decays)
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   batch_stats=batch_stats, opt_state=opt_state,
+                   ema_params=ema)

@@ -1,0 +1,217 @@
+"""Jitted train / eval / probe steps.
+
+The hot loop (reference `train_one_epoch`, `main_prog.py:933-1095`)
+becomes a single donated, jitted SPMD step per static configuration
+(resolution r, elastic keep-mask, grad-accum splits):
+
+  * on-device bilinear resize of the input batch to the stage resolution
+    (replaces the per-batch `F.interpolate` at `main_prog.py:973`);
+  * soft/token-label target construction on device
+    (`create_token_label_target`, SURVEY §2.2);
+  * gradient accumulation as a `lax.scan` over micro-batches inside the
+    step (replaces the `batch_splits` Python loop + `update=` flag at
+    `main_prog.py:971,1019-1030`) — one optimizer update per call;
+  * EMA updates for every decay fused into the same program
+    (`main_prog.py:1030-1033`);
+  * the gradient all-reduce over the data axis is emitted by XLA from the
+    batch sharding — no DDP, no explicit collectives.
+
+Each distinct (r, keep, splits) is its own XLA program, cached here; the
+candidate space is tiny (SURVEY §7.3.1) and programs are compiled lazily
+(or ahead-of-time via `warmup`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from autoprog_tpu.ops.interpolate import resize_bilinear
+from autoprog_tpu.train.optim import apply_lr
+from autoprog_tpu.train.state import TrainState
+from autoprog_tpu.data.token_label import build_token_label_target, smooth_one_hot
+
+
+def _ce_logits_int(logits, labels):
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+
+
+class StepBuilder:
+    """Factory + cache of compiled steps for one model/optimizer pairing."""
+
+    def __init__(self, *, model, tx: optax.GradientTransformation,
+                 train_loss: Callable, ema_decays: Tuple[float, ...] = (),
+                 num_classes: int = 1000, smoothing: float = 0.1,
+                 token_label: bool = False, has_token_label_data: bool = False,
+                 mesh=None, donate: bool = True):
+        self.model = model
+        self.tx = tx
+        self.train_loss = train_loss
+        self.ema_decays = tuple(ema_decays)
+        self.num_classes = num_classes
+        self.smoothing = smoothing
+        self.token_label = token_label
+        self.has_token_label_data = has_token_label_data
+        self.mesh = mesh
+        self.donate = donate
+        self._train_cache: Dict = {}
+        self._eval_cache: Dict = {}
+        self._probe_cache: Dict = {}
+        self._tput_cache: Dict = {}
+
+    # ---------------- target construction (in-jit) ----------------------
+
+    def _build_target(self, batch, r: int):
+        """Device-side target prep, mirroring `main_prog.py:976-1004`."""
+        if "soft_target" in batch:
+            return batch["soft_target"]
+        if self.token_label and self.has_token_label_data and "label_scores" in batch:
+            return build_token_label_target(
+                batch["label"], batch["label_scores"], batch["label_inds"],
+                num_classes=self.num_classes, smoothing=self.smoothing,
+                label_size=r // 16, gt_soft=batch.get("gt_soft"))
+        return smooth_one_hot(batch["label"], self.num_classes, self.smoothing)
+
+    def _apply_train(self, params, batch_stats, images, rng, keep):
+        rngs = {"dropout": jax.random.fold_in(rng, 1),
+                "mixtoken": jax.random.fold_in(rng, 2)}
+        variables = {"params": params}
+        mutable = []
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats"]
+        out = self.model.apply(variables, images, train=True,
+                               keep=keep, rngs=rngs, mutable=mutable)
+        if mutable:
+            out, mutated = out
+            return out, mutated["batch_stats"]
+        return out, batch_stats
+
+    # ---------------- train ---------------------------------------------
+
+    def train_step(self, *, r: int, keep=None, splits: int = 1):
+        key = (r, keep, splits)
+        if key not in self._train_cache:
+            self._train_cache[key] = self._make_train_step(r, keep, splits)
+        return self._train_cache[key]
+
+    def _make_train_step(self, r: int, keep, splits: int):
+        def micro_loss(params, batch_stats, images, target, rng):
+            images = resize_bilinear(images, r)
+            out, new_stats = self._apply_train(params, batch_stats, images, rng, keep)
+            loss = self.train_loss(out, target)
+            return loss, new_stats
+
+        grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
+
+        def step(state: TrainState, batch, lr, rng):
+            rng = jax.random.fold_in(rng, state.step)
+            images, target = batch["image"], self._build_target(batch, r)
+
+            if splits == 1:
+                (loss, new_stats), grads = grad_fn(
+                    state.params, state.batch_stats, images, target, rng)
+            else:
+                def re(x):
+                    return x.reshape(splits, x.shape[0] // splits, *x.shape[1:])
+                mb = (re(images), jax.tree.map(re, target))
+
+                def body(carry, xs):
+                    g_acc, stats, loss_acc, i = carry
+                    im, tg = xs
+                    (l, stats), g = grad_fn(state.params, stats, im, tg,
+                                            jax.random.fold_in(rng, i))
+                    g_acc = jax.tree.map(jnp.add, g_acc, g)
+                    return (g_acc, stats, loss_acc + l, i + 1), None
+
+                g0 = jax.tree.map(jnp.zeros_like, state.params)
+                (grads, new_stats, loss_sum, _), _ = jax.lax.scan(
+                    body, (g0, state.batch_stats, 0.0, 0), mb)
+                grads = jax.tree.map(lambda g: g / splits, grads)
+                loss = loss_sum / splits
+
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.params)
+            params = optax.apply_updates(state.params, apply_lr(updates, lr))
+            ema = tuple(
+                jax.tree.map(lambda e, p, d=d: e * d + p.astype(e.dtype) * (1 - d),
+                             et, params)
+                for d, et in zip(self.ema_decays, state.ema_params))
+            new_state = state.replace(step=state.step + 1, params=params,
+                                      batch_stats=new_stats,
+                                      opt_state=opt_state, ema_params=ema)
+            return new_state, {"loss": loss}
+
+        donate = (0,) if self.donate else ()
+        return jax.jit(step, donate_argnums=donate)
+
+    # ---------------- eval ----------------------------------------------
+
+    def eval_step(self, *, keep=None):
+        if keep not in self._eval_cache:
+            self._eval_cache[keep] = self._make_eval_step(keep)
+        return self._eval_cache[keep]
+
+    def _make_eval_step(self, keep):
+        def step(params, batch_stats, batch):
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            logits = self.model.apply(variables, batch["image"], train=False,
+                                      keep=keep)
+            if isinstance(logits, tuple):
+                logits = logits[0]
+            labels = batch["label"]
+            loss = _ce_logits_int(logits, labels)
+            top1 = (jnp.argmax(logits, -1) == labels)
+            k5 = jax.lax.top_k(logits, 5)[1]
+            top5 = jnp.any(k5 == labels[:, None], axis=-1)
+            return {"loss_sum": loss.sum(),
+                    "top1_sum": top1.sum(), "top5_sum": top5.sum(),
+                    "count": jnp.asarray(labels.shape[0], jnp.float32)}
+        return jax.jit(step)
+
+    # ---------------- search probes --------------------------------------
+
+    def loss_probe_step(self, *, r: int, keep=None):
+        """Train-mode forward, hard-label CE on the cls logits — the search
+        loss probe (`validate_trainset`, `main_prog.py:1175-1243`)."""
+        key = (r, keep)
+        if key not in self._probe_cache:
+            def step(params, batch_stats, batch, rng):
+                images = resize_bilinear(batch["image"], r)
+                out, _ = self._apply_train(params, batch_stats, images, rng, keep)
+                logits = out[0] if isinstance(out, tuple) else out
+                loss = _ce_logits_int(logits, batch["label"])
+                return loss.mean()
+            self._probe_cache[key] = jax.jit(step)
+        return self._probe_cache[key]
+
+    def throughput_probe_step(self, *, r: int, keep=None):
+        """Forward+backward without an optimizer update — the per-candidate
+        step-time probe feeding the grow criterion
+        (`main_prog.py:1245-1298`, SURVEY §5.1). Time it post-warmup with
+        block_until_ready so compile time never skews the criterion
+        (SURVEY §7.3.6)."""
+        key = (r, keep)
+        if key not in self._tput_cache:
+            def micro(params, batch_stats, images, target, rng):
+                images = resize_bilinear(images, r)
+                out, _ = self._apply_train(params, batch_stats, images, rng, keep)
+                return self.train_loss(out, target)
+
+            g = jax.grad(micro)
+
+            def step(params, batch_stats, batch, rng):
+                target = self._build_target(batch, r)
+                grads = g(params, batch_stats, batch["image"], target, rng)
+                # reduce to a tiny output so timing includes the full bwd
+                return jax.tree.reduce(
+                    jnp.add, jax.tree.map(lambda x: jnp.sum(jnp.abs(x)), grads))
+            self._tput_cache[key] = jax.jit(step)
+        return self._tput_cache[key]

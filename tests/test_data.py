@@ -1,0 +1,168 @@
+"""Data pipeline tests: transforms, loader, mixup, token-label targets."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from autoprog_tpu.data.dataset import FixedAugDataset, SyntheticDataset, create_dataset
+from autoprog_tpu.data.loader import Loader, create_loader, crop_label_maps
+from autoprog_tpu.data.mixup import Mixup, one_hot_np
+from autoprog_tpu.data.token_label import build_token_label_target, smooth_one_hot
+from autoprog_tpu.data.transforms import (
+    CropParams,
+    EvalTransform,
+    RandAugment,
+    TrainTransform,
+)
+
+
+def test_rand_augment_policy_parse():
+    ra = RandAugment.from_policy("rand-m9-mstd0.5-inc1")
+    assert ra.magnitude == 9 and ra.mstd == 0.5
+    assert RandAugment.from_policy("") is None
+    with pytest.raises(ValueError):
+        RandAugment.from_policy("augmix-m3")
+
+
+def test_train_transform_shapes_and_determinism():
+    ds = SyntheticDataset(size=4, num_classes=10, image_size=48)
+    img, label, _ = ds.load(0)
+    tf = TrainTransform(size=32, rand_augment=RandAugment(magnitude=9),
+                        re_prob=0.5)
+    x1, cp = tf(img, np.random.default_rng(0))
+    x2, _ = tf(img, np.random.default_rng(0))
+    x3, _ = tf(img, np.random.default_rng(1))
+    assert x1.shape == (32, 32, 3)
+    np.testing.assert_array_equal(x1, x2)      # same rng -> same output
+    assert not np.array_equal(x1, x3)          # different rng -> different
+    assert 0 <= cp.top and cp.top + cp.height <= cp.src_h
+
+
+def test_eval_transform_crop_pct():
+    ds = SyntheticDataset(size=1, num_classes=10, image_size=100)
+    img, _, _ = ds.load(0)
+    x = EvalTransform(size=32, crop_pct=0.96)(img)
+    assert x.shape == (32, 32, 3)
+
+
+def test_loader_inline_epoch_determinism():
+    ds = SyntheticDataset(size=32, num_classes=10, image_size=40)
+    tf = TrainTransform(size=32)
+    ld = Loader(ds, batch_size=8, is_training=True, transform=tf,
+                num_workers=0, seed=7)
+    ld.set_epoch(0)
+    b0 = [b["label"].copy() for b in ld]
+    ld.set_epoch(0)
+    b0b = [b["label"].copy() for b in ld]
+    ld.set_epoch(1)
+    b1 = [b["label"].copy() for b in ld]
+    assert len(b0) == 4
+    np.testing.assert_array_equal(np.concatenate(b0), np.concatenate(b0b))
+    assert not np.array_equal(np.concatenate(b0), np.concatenate(b1))
+
+
+def test_loader_multiprocess_matches_len():
+    ds = SyntheticDataset(size=20, num_classes=5, image_size=40)
+    ld = Loader(ds, batch_size=4, is_training=True,
+                transform=TrainTransform(size=32), num_workers=2)
+    try:
+        batches = list(ld)
+        assert len(batches) == len(ld) == 5
+        assert batches[0]["image"].shape == (4, 32, 32, 3)
+    finally:
+        ld.close()
+
+
+def test_loader_process_sharding_partitions():
+    ds = SyntheticDataset(size=32, num_classes=5, image_size=40)
+    seen = []
+    for pi in range(2):
+        ld = Loader(ds, batch_size=8, is_training=True,
+                    transform=TrainTransform(size=32), num_workers=0,
+                    seed=3, process_index=pi, process_count=2)
+        ld.set_epoch(0)
+        for b in ld:
+            seen.append(b["label"])
+    allv = np.concatenate(seen)
+    assert len(allv) == 32  # disjoint halves cover the epoch
+
+
+def test_fixed_aug_dataset_stable_across_epochs():
+    ds = FixedAugDataset(SyntheticDataset(size=8, num_classes=5,
+                                          image_size=40))
+    ld = Loader(ds, batch_size=4, is_training=False,
+                transform=TrainTransform(size=32, re_prob=0.5),
+                num_workers=0)
+    ld.set_epoch(0)
+    a = np.concatenate([b["image"] for b in ld])
+    ld.set_epoch(5)
+    b = np.concatenate([b["image"] for b in ld])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_mixup_soft_targets_rows_sum_to_one():
+    mx = Mixup(mixup_alpha=0.8, cutmix_alpha=1.0, num_classes=10,
+               label_smoothing=0.1)
+    batch = {"image": np.random.default_rng(0).normal(
+        size=(8, 16, 16, 3)).astype(np.float32),
+        "label": np.arange(8, dtype=np.int64) % 10}
+    out = mx(batch, np.random.default_rng(1))
+    t = out["soft_target"]
+    np.testing.assert_allclose(t.sum(-1), 1.0, rtol=1e-5)
+
+
+def test_cutmix_token_label_maps_follow_box():
+    mx = Mixup(mixup_alpha=0.0, cutmix_alpha=1.0, num_classes=10,
+               token_label=True, label_smoothing=0.0)
+    B, H = 4, 32
+    batch = {
+        "image": np.zeros((B, H, H, 3), np.float32),
+        "label": np.arange(B, dtype=np.int64),
+        "label_scores": np.tile(
+            np.arange(B, dtype=np.float32)[:, None, None, None], (1, 5, 8, 8)),
+        "label_inds": np.zeros((B, 5, 8, 8), np.int32),
+    }
+    out = mx(batch, np.random.default_rng(0))
+    assert "gt_soft" in out
+    # every map cell still holds a value that came from some batch element
+    assert set(np.unique(out["label_scores"])) <= set(range(B))
+
+
+def test_crop_label_maps_alignment():
+    K, Hm = 2, 8
+    scores = np.zeros((K, Hm, Hm), np.float32)
+    scores[:, :4, :] = 1.0  # top half labeled
+    inds = np.zeros((K, Hm, Hm), np.int32)
+    cp = CropParams(top=0, left=0, height=50, width=100, hflip=False,
+                    vflip=False, src_h=100, src_w=100)  # crop = top half
+    s, _ = crop_label_maps(scores, inds, cp, out_hw=4)
+    np.testing.assert_array_equal(s, 1.0)  # crop covered only labeled rows
+
+
+def test_token_label_target_layout():
+    B, C, K, Hm, t = 2, 10, 3, 8, 4
+    rng = np.random.default_rng(0)
+    labels = jnp.asarray([1, 2])
+    scores = jnp.asarray(rng.random((B, K, Hm, Hm)), jnp.float32) / K
+    inds = jnp.asarray(rng.integers(0, C, (B, K, Hm, Hm)), jnp.int32)
+    tgt = build_token_label_target(labels, scores, inds, num_classes=C,
+                                   smoothing=0.1, label_size=t)
+    assert tgt.shape == (B, C, 2 + t * t)
+    # slot0 = smoothed one-hot of GT
+    np.testing.assert_allclose(
+        np.asarray(tgt[:, :, 0]),
+        np.asarray(smooth_one_hot(labels, C, 0.1)), rtol=1e-5)
+    # all slots are distributions
+    np.testing.assert_allclose(np.asarray(tgt[:, :, 1].sum(-1)), 1.0,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(tgt[:, :, 2:].sum(1)), 1.0,
+                               rtol=1e-4)
+
+
+def test_create_dataset_synthetic():
+    ds = create_dataset("synthetic", "synthetic://", fake_size=16,
+                        num_classes=7)
+    assert len(ds) == 16
+    img, label, _ = ds.load(3)
+    assert 0 <= label < 7
