@@ -62,6 +62,9 @@ def build_parser(prog: bool = False) -> argparse.ArgumentParser:
     g.add_argument("-b", "--batch-size", type=int, default=128,
                    help="global batch size per data-parallel step (per-host share is derived)")
     g.add_argument("-vb", "--validation-batch-size-multiplier", type=int, default=1)
+    g.add_argument("--batch-splits", type=int, default=1,
+                   help="gradient-accumulation micro-steps per update "
+                        "(scanned inside the jitted step)")
 
     # Optimizer
     g = parser.add_argument_group("optimizer")
@@ -183,6 +186,9 @@ def build_parser(prog: bool = False) -> argparse.ArgumentParser:
         g.add_argument("--batch-splits-list", type=int, nargs="+", default=[1])
         g.add_argument("--auto-grow", default=False, action="store_true")
         g.add_argument("--search-epochs", type=int, default=1)
+        g.add_argument("--search-probe-steps", type=int, default=50,
+                       help="fixed-aug batches per candidate loss/time probe "
+                            "(reference uses 50, main_prog.py:1892)")
     return parser
 
 

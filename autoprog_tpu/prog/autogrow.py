@@ -1,0 +1,276 @@
+"""AutoProg sub-network search ("auto grow").
+
+Reference: `auto_grow` / `train_one_epoch_super` / `sample_configs` /
+the convergence-speed scoring (`main_prog.py:1558-2054`). At a stage
+boundary the engine grows a weight-shared elastic supernet to the largest
+candidate, trains it for `search_epochs` while sampling a random
+(layer-count, resolution) sub-network per batch, probes each candidate's
+training loss (on EMA[0]) and per-step wall time, and picks the candidate
+minimizing `mean_loss * step_time^w` with `w` fitted on the fly by a
+power-law `curve_fit` (host-side scipy — SURVEY §2.2).
+
+TPU-native notes:
+  * each candidate (r, l) is a pre-compiled XLA program (keep-mask +
+    resolution static); sampling picks which program to call — the
+    reference's per-batch `set_sample_config` mutation disappears;
+  * sampling uses `np.random.RandomState(epoch)`, identical on every host
+    (the reference's `random.seed(epoch)` at `main_prog.py:1861` — the
+    load-bearing determinism for synced grow decisions, SURVEY §5.2);
+  * step time is measured on the *compiled* step post-warmup with
+    block_until_ready, so compilation never skews the criterion
+    (SURVEY §7.3.6);
+  * on multi-host, the chosen (r, l) is additionally broadcast from
+    process 0 (belt-and-suspenders, SURVEY §5.8).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from autoprog_tpu.parallel.mesh import shard_batch
+from autoprog_tpu.prog.depth import elastic_keep_masks
+from autoprog_tpu.prog.schedule import no_repeats
+from autoprog_tpu.utils.meters import AverageMeter, SmoothMeter
+
+_logger = logging.getLogger("autoprog_tpu.autogrow")
+
+
+# ------------------------- candidate windowing ----------------------------
+
+
+def candidate_window(r_list, h_list, l_list, current_r, current_h, current_l,
+                     stage: int) -> Tuple[List[int], List[int], List[int]]:
+    """Search window at a stage boundary (`main_prog.py:792-803`):
+    stage 0 searches {min, mid, max} of r and l; later stages search a
+    sliding window of <=2 resolutions x <=3 depths above the current
+    config."""
+    r_u, h_u, l_u = no_repeats(r_list), no_repeats(h_list), no_repeats(l_list)
+    if stage > 0:
+        r_s, h_s, l_s = r_u.index(current_r), h_u.index(current_h), \
+            l_u.index(current_l)
+        if l_s < len(l_u) - 1:
+            l_s += 1
+        r_e = min(r_s + 2, len(r_u))
+        h_e = min(h_s + 3, len(h_u))
+        l_e = min(l_s + 3, len(l_u))
+        return r_u[r_s:r_e], h_u[h_s:h_e], l_u[l_s:l_e]
+    return ([r_u[0], r_u[len(r_u) // 2], r_u[-1]], h_u,
+            [l_u[0], l_u[len(l_u) // 2], l_u[-1]])
+
+
+# ------------------------- scoring ----------------------------------------
+
+
+def fit_time_exponent(times: Sequence[float], losses: Sequence[float]
+                      ) -> float:
+    """Fit loss ~ a2 * time^a1 and return w = max(-a1, 0)
+    (`main_prog.py:1741-1747`)."""
+    from scipy.optimize import curve_fit
+
+    def _curve(x, a1, a2):
+        return a2 * np.power(x, a1)
+
+    try:
+        para, _ = curve_fit(_curve, np.asarray(times, float),
+                            np.asarray(losses, float), maxfev=10000)
+        return float(max(-para[0], 0.0))
+    except Exception as e:  # singular fits on degenerate inputs
+        _logger.warning("curve_fit failed (%s); using w=0", e)
+        return 0.0
+
+
+def score_candidates(search_metrics: List[Dict[str, Dict[str, float]]],
+                     cfg_strs: Sequence[str], stage: int
+                     ) -> Tuple[str, Dict[str, float]]:
+    """Convergence-speed criterion (`main_prog.py:1698-1819`).
+
+    search_metrics: one dict per probe round, cfg -> {'loss', 'time'}
+    ('time' present in round 0 only). Returns (best_cfg, table).
+    """
+    n = len(search_metrics)
+    taylor0, time_d = {}, {}
+    extras: Dict[str, Dict[str, float]] = {}
+    for cfg in cfg_strs:
+        losses = [search_metrics[i][cfg]["loss"] for i in range(n)]
+        taylor0[cfg] = sum(losses) / len(losses)
+        time_d[cfg] = search_metrics[0][cfg]["time"]
+        if n > 3:
+            t = 1.0 / n
+            delta = losses[-1] - losses[0]
+            delta2 = ((losses[-1] - losses[-2]) -
+                      (losses[1] - losses[0])) / ((n - 1) * t)
+            delta3 = (((losses[-1] - losses[-2]) - (losses[-2] - losses[-3]))
+                      / t - ((losses[2] - losses[1]) -
+                             (losses[1] - losses[0])) / t) / ((n - 2) * t)
+            extras[cfg] = dict(
+                delta=delta, delta2=delta2, delta3=delta3,
+                taylor1=taylor0[cfg] + delta * 18,
+                taylor2=taylor0[cfg] + delta * 18 + delta2 * 18 ** 2 / 2,
+            )
+    w = fit_time_exponent([time_d[c] for c in cfg_strs],
+                          [taylor0[c] for c in cfg_strs])
+    converge = {c: taylor0[c] * time_d[c] ** w for c in cfg_strs}
+    # The reference multiplies a *constant* repetition regularizer
+    # (18/15)^0.3 into every candidate for stage>0 (`main_prog.py:1760-1766`)
+    # — it cannot change the argmin; kept for log parity only.
+    reg = (18 / 15) ** 0.3 if stage > 0 else 1.0
+    table = {c: converge[c] * reg for c in cfg_strs}
+    best = min(cfg_strs, key=lambda c: table[c])
+    _logger.info("search w=%.4f  converge-speed: %s", w,
+                 "; ".join(f"{c}: {table[c]:.4f}" for c in
+                           sorted(cfg_strs, key=lambda c: table[c])))
+    return best, table
+
+
+def parse_cfg(cfg: str) -> Tuple[int, int]:
+    r, l = cfg.split("_")
+    return int(r.lstrip("r")), int(l.lstrip("l"))
+
+
+# ------------------------- probes ------------------------------------------
+
+
+def probe_candidate(ctx, loader_search, *, r: int, keep, params, batch_stats,
+                    total_steps: Optional[int] = None,
+                    with_time: bool = False) -> Dict[str, float]:
+    """Loss (and optionally step-time) probe over `total_steps` fixed-aug
+    batches (`validate_trainset`, `main_prog.py:1175-1298`)."""
+    if total_steps is None:
+        total_steps = getattr(ctx.args, "search_probe_steps", 50)
+    loss_step = ctx.sb.loss_probe_step(r=r, keep=keep)
+    tput_step = ctx.sb.throughput_probe_step(r=r, keep=keep) if with_time \
+        else None
+    losses = AverageMeter()
+    times = AverageMeter()
+    rng = jax.random.fold_in(ctx.rng, 4242)
+    it = iter(loader_search)
+    warmed = False
+    for i in range(total_steps):
+        try:
+            batch = next(it)
+        except StopIteration:
+            it = iter(loader_search)
+            batch = next(it)
+        batch = shard_batch(ctx.mesh, batch)
+        losses.update(float(loss_step(params, batch_stats, batch,
+                                      jax.random.fold_in(rng, i))),
+                      batch["label"].shape[0])
+        if tput_step is not None:
+            if not warmed:  # compile + warm outside the timed region
+                jax.block_until_ready(
+                    tput_step(params, batch_stats, batch,
+                              jax.random.fold_in(rng, 10_000 + i)))
+                warmed = True
+            t0 = time.perf_counter()
+            jax.block_until_ready(
+                tput_step(params, batch_stats, batch,
+                          jax.random.fold_in(rng, 20_000 + i)))
+            times.update(time.perf_counter() - t0)
+    out = {"loss": losses.avg}
+    if tput_step is not None:
+        out["time"] = times.avg
+    return out
+
+
+# ------------------------- supernet epoch ----------------------------------
+
+
+def train_one_epoch_super(ctx, epoch: int, loader, loader_search, *,
+                          r_list: Sequence[int], l_list: Sequence[int],
+                          cfg_strs: Sequence[str], splits: int,
+                          eval_times: int,
+                          epoch_time_m: Optional[AverageMeter] = None):
+    """One supernet epoch with random sub-network sampling
+    (`train_one_epoch_super`, `main_prog.py:1839-2054`). Returns
+    (train_metrics, search_metrics_rounds, loss_0, loss_last)."""
+    args = ctx.args
+    sampler = np.random.RandomState(epoch)  # identical on every host
+    l_min, l_max = l_list[0], l_list[-1]
+    keep_of = {l: elastic_keep_masks(l, l_min, l_max) for l in l_list}
+    lr = ctx.schedule.fn(epoch)
+    loader.set_epoch(epoch)
+    losses_m = [[SmoothMeter() for _ in l_list] for _ in r_list]
+    batch_time = AverageMeter()
+
+    def ema_probe_source():
+        if ctx.state.ema_params:
+            return ctx.state.ema_params[0], ctx.state.batch_stats
+        return ctx.state.params, ctx.state.batch_stats
+
+    # round 0: per-candidate loss + step-time probe (the timing that feeds
+    # the grow criterion)
+    search_rounds: List[Dict[str, Dict[str, float]]] = []
+    probe_params, probe_stats = ema_probe_source()
+    round0 = {}
+    for cfg in cfg_strs:
+        r, l = parse_cfg(cfg)
+        round0[cfg] = probe_candidate(
+            ctx, loader_search, r=r, keep=keep_of[l], params=probe_params,
+            batch_stats=probe_stats, with_time=True)
+    search_rounds.append(round0)
+
+    nb = len(loader)
+    eval_steps = [nb // eval_times * i for i in range(1, eval_times)] + \
+        [nb - 1] if eval_times else []
+    loss_0, loss_last = {}, {}
+    state = ctx.state
+    end = time.time()
+    for batch_idx, batch in enumerate(loader):
+        l = int(sampler.choice(l_list))
+        r = int(sampler.choice(r_list))
+        l_idx, r_idx = l_list.index(l), r_list.index(r)
+        step = ctx.sb.train_step(r=r, keep=keep_of[l], splits=splits)
+        batch = shard_batch(ctx.mesh, batch)
+        state, metrics = step(state, batch, lr, ctx.rng)
+        losses_m[r_idx][l_idx].update(float(metrics["loss"]))
+        batch_time.update(time.time() - end)
+
+        if batch_idx % args.log_interval == 0 or batch_idx == nb - 1:
+            if ctx.is_primary:
+                grid = "; ".join(
+                    f"r{i}_l{j}: {losses_m[i][j].avg:.4f}"
+                    for j in range(len(l_list)) for i in range(len(r_list)))
+                _logger.info("TrainSuper: %d [%4d/%d] sampled r%d l%d  "
+                             "All Loss: %s", epoch, batch_idx, nb, r, l, grid)
+        if batch_idx == 49:
+            loss_0 = {f"r{i}_l{j}": round(losses_m[i][j].avg, 4)
+                      for j in range(len(l_list)) for i in range(len(r_list))}
+        if batch_idx == nb - 1:
+            loss_last = {f"r{i}_l{j}": round(losses_m[i][j].avg, 4)
+                         for j in range(len(l_list))
+                         for i in range(len(r_list))}
+        if batch_idx in eval_steps:
+            ctx.state = state
+            probe_params, probe_stats = ema_probe_source()
+            rnd = {}
+            for cfg in cfg_strs:
+                r_c, l_c = parse_cfg(cfg)
+                rnd[cfg] = probe_candidate(
+                    ctx, loader_search, r=r_c, keep=keep_of[l_c],
+                    params=probe_params, batch_stats=probe_stats)
+            search_rounds.append(rnd)
+        end = time.time()
+    ctx.state = state
+    if epoch_time_m is not None:
+        epoch_time_m.update(batch_time.sum)
+    train_metrics = {"loss": losses_m[0][0].avg,
+                     "step_time": batch_time.avg}
+    return train_metrics, search_rounds, loss_0, loss_last
+
+
+# ------------------------- top-level search --------------------------------
+
+
+def sync_decision(best_r: int, best_l: int) -> Tuple[int, int]:
+    """Broadcast the grow decision from process 0 on multi-host meshes."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        arr = multihost_utils.broadcast_one_to_all(
+            np.asarray([best_r, best_l], np.int32))
+        return int(arr[0]), int(arr[1])
+    return best_r, best_l

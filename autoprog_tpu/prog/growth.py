@@ -202,7 +202,9 @@ def _remap_tree(src_flat: Dict, dst_template, *, path_map, mode: str,
         src = src_flat[sp]
         dst_shape = tuple(tmpl.shape)
         if tuple(src.shape) == dst_shape and mode not in ("clone_noise",):
-            out[path] = src.astype(tmpl.dtype)
+            # materialize a copy: depth cloning maps several destination
+            # layers to one source, and aliased buffers break step donation
+            out[path] = jnp.array(src, dtype=tmpl.dtype, copy=True)
             continue
         ema = [e[sp] for e in ema_flats] if ema_flats else None
         leaf_key = None
@@ -237,7 +239,41 @@ def _remap_tree(src_flat: Dict, dst_template, *, path_map, mode: str,
             raise NotImplementedError(f"no growth rule for {path} "
                                       f"{src.shape} -> {dst_shape}")
         out[path] = grown.astype(tmpl.dtype)
-    return unflatten_dict(out)
+    return unflatten_dict(_dedupe_buffers(out))
+
+
+def _dedupe_buffers(flat: Dict) -> Dict:
+    """Force distinct device buffers for every leaf. Depth cloning maps
+    several destination layers to one source, and JAX deduplicates
+    value-equal constants into shared buffers — which breaks the train
+    step's donation (`donate(a), donate(a)`)."""
+    import numpy as np
+
+    def ptr_of(leaf):
+        try:
+            return leaf.unsafe_buffer_pointer()
+        except Exception:
+            pass
+        try:  # sharded array: identify by the first addressable shard
+            return leaf.addressable_shards[0].data.unsafe_buffer_pointer()
+        except Exception:
+            return None
+
+    seen = set()
+    out = {}
+    for path, leaf in flat.items():
+        ptr = ptr_of(leaf)
+        if ptr is not None and ptr in seen:
+            host = np.array(leaf)
+            try:
+                out[path] = jax.device_put(host, leaf.sharding)
+            except Exception:
+                out[path] = jax.device_put(host)
+        else:
+            if ptr is not None:
+                seen.add(ptr)
+            out[path] = leaf
+    return out
 
 
 def grow_params(src_params, dst_template, *, src_layers: Sequence[int],
@@ -316,7 +352,7 @@ def grow_batch_stats(src_stats, dst_template, *, src_layers, dst_layers):
         sp = _depth_mapped_path(path, src_layers, dst_layers)
         src = src_flat.get(sp)
         if src is not None and tuple(src.shape) == tuple(tmpl.shape):
-            out[path] = src.astype(tmpl.dtype)
+            out[path] = jnp.array(src, dtype=tmpl.dtype, copy=True)
         else:
-            out[path] = tmpl
-    return unflatten_dict(out)
+            out[path] = jnp.array(tmpl, copy=True)
+    return unflatten_dict(_dedupe_buffers(out))

@@ -38,18 +38,40 @@ def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+_MAGIC = b"APTC0001"
+# JSON-serializable metadata keys kept out of the tensor blob (flax msgpack
+# does not round-trip Python strings)
+_META_KEYS = ("arch", "stage_info", "args_text", "epoch", "metric",
+              "version", "batch_idx", "step")
+
+
 def save_checkpoint_file(path: str, payload: Dict[str, Any]) -> None:
-    """Atomic msgpack write (tmp + rename)."""
-    blob = serialization.msgpack_serialize(_to_host(payload))
+    """Atomic write (tmp + rename): JSON metadata header + msgpack tensors."""
+    import json
+    meta = {k: payload[k] for k in _META_KEYS if k in payload}
+    tensors = {k: v for k, v in payload.items() if k not in _META_KEYS}
+    blob = serialization.msgpack_serialize(_to_host(tensors))
+    hdr = json.dumps(meta).encode()
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
+        f.write(_MAGIC)
+        f.write(len(hdr).to_bytes(8, "little"))
+        f.write(hdr)
         f.write(blob)
     os.replace(tmp, path)
 
 
 def load_checkpoint_file(path: str) -> Dict[str, Any]:
+    import json
     with open(path, "rb") as f:
-        return serialization.msgpack_restore(f.read())
+        data = f.read()
+    if not data.startswith(_MAGIC):
+        return serialization.msgpack_restore(data)  # legacy blob-only file
+    n = int.from_bytes(data[8:16], "little")
+    meta = json.loads(data[16:16 + n].decode())
+    out = dict(serialization.msgpack_restore(data[16 + n:]))
+    out.update(meta)
+    return out
 
 
 def get_resume_epoch(path: str) -> Optional[int]:

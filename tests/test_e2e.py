@@ -1,0 +1,68 @@
+"""End-to-end CLI tests on synthetic data (BASELINE configs 1-2 analogues,
+CPU-runnable, SURVEY §4.4)."""
+
+import glob
+
+import pytest
+
+
+COMMON = ["synthetic://", "--num-classes", "8", "-b", "16",
+          "--warmup-epochs", "1", "--cooldown-epochs", "0", "--lr", "1e-3",
+          "--workers", "0", "--fake-data-size", "64", "--no-bf16"]
+
+
+def test_main_fixed_train_eval_checkpoint(tmp_path):
+    from autoprog_tpu.main import main
+    best = main(COMMON + [
+        "--model", "deit_h2_l2", "--img-size", "32", "--epochs", "2",
+        "--model-ema", "--model-ema-decay", "0.9",
+        "--output", str(tmp_path)])
+    assert best is not None and 0 <= best <= 100
+    ckpts = glob.glob(str(tmp_path / "train" / "*" / "model_best.ckpt"))
+    assert len(ckpts) == 1
+
+    # standalone validator reproduces the training-loop eval top-1 exactly
+    from autoprog_tpu.validate import main as vmain
+    res = vmain(["synthetic://", "--checkpoint", ckpts[0],
+                 "--num-classes", "8", "--img-size", "32", "-b", "16",
+                 "--workers", "0", "--fake-data-size", "16", "--no-bf16"])
+    assert res[0]["top1"] >= 0
+
+
+def test_main_prog_manual_growth(tmp_path):
+    """deit manual progressive depth growth (BASELINE config 2 analogue)."""
+    from autoprog_tpu.main_prog import main
+    best = main(COMMON + [
+        "--model", "deit_h2_l4", "--img-size", "32", "--epochs", "4",
+        "--num-stages", "2", "--r-scale", "1.0", "--l-scale", "0.5",
+        "--drop-path", "0.0", "--load-with-clone",
+        "--output", str(tmp_path)])
+    assert best is not None
+    # checkpoints from both stages exist; the last records the full arch
+    last = glob.glob(str(tmp_path / "train" / "*" / "last.ckpt"))[0]
+    from autoprog_tpu.train.checkpoint import load_checkpoint_file
+    ckpt = load_checkpoint_file(last)
+    assert ckpt["arch"] == "deit_h2_l4"
+    assert ckpt["stage_info"]["l"] == 4
+
+
+def test_main_prog_resume_after_growth(tmp_path):
+    """Progressive resume derives the stage arch from the checkpoint
+    (fixes the reference's hardcoded resume, SURVEY §7.4)."""
+    from autoprog_tpu.main_prog import main
+    main(COMMON + [
+        "--model", "deit_h2_l4", "--img-size", "32", "--epochs", "4",
+        "--num-stages", "2", "--r-scale", "1.0", "--l-scale", "0.5",
+        "--drop-path", "0.0", "--output", str(tmp_path)])
+    # resume from the post-growth epoch-2 snapshot (stage 1, grown arch):
+    # the trainer must rebuild deit_h2_l4 from the checkpoint's arch record
+    # and finish the remaining epoch
+    snap = glob.glob(str(tmp_path / "train" / "*" / "checkpoint-2.ckpt"))[0]
+    from autoprog_tpu.train.checkpoint import load_checkpoint_file
+    assert load_checkpoint_file(snap)["arch"] == "deit_h2_l4"
+    best = main(COMMON + [
+        "--model", "deit_h2_l4", "--img-size", "32", "--epochs", "4",
+        "--num-stages", "2", "--r-scale", "1.0", "--l-scale", "0.5",
+        "--drop-path", "0.0", "--resume", snap,
+        "--output", str(tmp_path / "resumed")])
+    assert best is not None
