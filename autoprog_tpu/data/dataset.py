@@ -45,6 +45,9 @@ def _find_split(root: str, split: str) -> str:
 
 
 class ImageFolderDataset:
+    #: decode JPEGs in the native C++ pipeline when the library is present
+    use_native: bool = True
+
     def __init__(self, root: str, split: str = "train"):
         self.root = _find_split(root, split)
         classes = sorted(d for d in os.listdir(self.root)
@@ -64,11 +67,20 @@ class ImageFolderDataset:
     def __len__(self):
         return len(self.samples)
 
-    def load(self, i: int):
+    def _load_image(self, path: str):
+        if self.use_native and path.lower().endswith((".jpg", ".jpeg")):
+            from autoprog_tpu.data import native
+            from autoprog_tpu.data.raw import RawJpeg
+            if native.available():
+                with open(path, "rb") as f:
+                    return RawJpeg(f.read())
         from PIL import Image
-        path, label = self.samples[i]
         with Image.open(path) as im:
-            return im.convert("RGB"), label, None
+            return im.convert("RGB")
+
+    def load(self, i: int):
+        path, label = self.samples[i]
+        return self._load_image(path), label, None
 
 
 class TokenLabelDataset(ImageFolderDataset):
@@ -88,10 +100,8 @@ class TokenLabelDataset(ImageFolderDataset):
         return None
 
     def load(self, i: int):
-        from PIL import Image
         path, label = self.samples[i]
-        with Image.open(path) as im:
-            img = im.convert("RGB")
+        img = self._load_image(path)
         lp = self._label_path(path)
         if lp is None:
             return img, label, None

@@ -230,8 +230,15 @@ class TrainTransform:
     mean: Tuple[float, ...] = (0.485, 0.456, 0.406)
     std: Tuple[float, ...] = (0.229, 0.224, 0.225)
 
-    def __call__(self, img: Image.Image, rng: np.random.Generator
+    def __call__(self, img, rng: np.random.Generator
                  ) -> Tuple[np.ndarray, CropParams]:
+        from autoprog_tpu.data.raw import RawJpeg
+        if isinstance(img, RawJpeg):
+            out = self._call_native(img, rng)
+            if out is not None:
+                return out
+            import io
+            img = Image.open(io.BytesIO(img))  # fallback: PIL decode
         img = img.convert("RGB")
         src_w, src_h = img.size
         top, left, h, w = sample_resized_crop(src_h, src_w, self.scale,
@@ -260,6 +267,44 @@ class TrainTransform:
         params = CropParams(top, left, h, w, do_h, do_v, src_h, src_w)
         return x, params
 
+    def _call_native(self, data: bytes, rng: np.random.Generator):
+        """Fused C++ decode+crop+resize path (data/native.py); draws the
+        same aug parameters in the same order as the PIL path."""
+        from autoprog_tpu.data import native
+        dims = native.jpeg_size(data)
+        if dims is None:
+            return None
+        src_w, src_h = dims
+        top, left, h, w = sample_resized_crop(src_h, src_w, self.scale,
+                                              self.ratio, rng)
+        _pick_interp(self.interpolation, rng)  # keep rng stream aligned
+        rgb = native.decode_crop_resize(data, (left, top, w, h), self.size)
+        if rgb is None:
+            return None
+        flipped = self.hflip > 0 and rng.random() < self.hflip
+        do_v = self.vflip > 0 and rng.random() < self.vflip
+        if do_v:
+            rgb = rgb[::-1]
+        flip_in_normalize = flipped
+        if self.color_jitter or self.rand_augment is not None:
+            img = Image.fromarray(rgb[:, ::-1] if flipped else rgb)
+            flip_in_normalize = False
+            if self.color_jitter:
+                for enh in (ImageEnhance.Brightness, ImageEnhance.Contrast,
+                            ImageEnhance.Color):
+                    f = 1.0 + rng.uniform(-self.color_jitter,
+                                          self.color_jitter)
+                    img = enh(img).enhance(max(f, 0.0))
+            if self.rand_augment is not None:
+                img = self.rand_augment(img, rng)
+            rgb = np.asarray(img)
+        x = native.normalize(rgb, self.mean, self.std,
+                             hflip=flip_in_normalize)
+        if self.re_prob > 0:
+            x = RandomErasing(self.re_prob, self.re_mode, self.re_count)(x, rng)
+        params = CropParams(top, left, h, w, flipped, do_v, src_h, src_w)
+        return x, params
+
 
 @dataclass
 class EvalTransform:
@@ -269,7 +314,14 @@ class EvalTransform:
     mean: Tuple[float, ...] = (0.485, 0.456, 0.406)
     std: Tuple[float, ...] = (0.229, 0.224, 0.225)
 
-    def __call__(self, img: Image.Image) -> np.ndarray:
+    def __call__(self, img) -> np.ndarray:
+        from autoprog_tpu.data.raw import RawJpeg
+        if isinstance(img, RawJpeg):
+            # eval keeps the PIL bicubic path for protocol fidelity
+            # (crop_pct + bicubic, `models/volo.py:36`); decode cost is
+            # negligible at validation frequency
+            import io
+            img = Image.open(io.BytesIO(img))
         img = img.convert("RGB")
         scale_size = int(math.floor(self.size / self.crop_pct))
         w, h = img.size

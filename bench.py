@@ -38,11 +38,17 @@ def time_step(step, state, batch, lr, rng, iters=10, warmup=None):
             return s2
         return jax.lax.fori_loop(0, iters, body, state)
 
+    def sync(s):
+        # a device->host readback of a value depending on the whole update:
+        # through the axon tunnel, block_until_ready alone can return
+        # before remote execution finishes
+        return float(jax.tree.leaves(s.params)[0].sum())
+
     state = multi(state, batch, rng)  # compile + warm
-    jax.block_until_ready(jax.tree.leaves(state.params)[0])
+    sync(state)
     t0 = time.perf_counter()
     state = multi(state, batch, rng)
-    jax.block_until_ready(jax.tree.leaves(state.params)[0])
+    sync(state)
     return (time.perf_counter() - t0) / iters, state
 
 
