@@ -169,7 +169,7 @@ class StepBuilder:
             labels = batch["label"]
             loss = _ce_logits_int(logits, labels)
             top1 = (jnp.argmax(logits, -1) == labels)
-            k5 = jax.lax.top_k(logits, 5)[1]
+            k5 = jax.lax.top_k(logits, min(5, logits.shape[-1]))[1]
             top5 = jnp.any(k5 == labels[:, None], axis=-1)
             return {"loss_sum": loss.sum(),
                     "top1_sum": top1.sum(), "top5_sum": top5.sum(),
