@@ -36,6 +36,22 @@ Dtype = jnp.dtype
 trunc_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
 
 
+def _use_fused_outlook(kernel_size: int, stride: int, padding: int,
+                       H: int, W: int) -> bool:
+    """Route outlook attention through the fused Pallas kernel.
+
+    AUTOPROG_FUSED_OUTLOOK = 1 | 0 (default 0). The kernel is
+    numerically verified against the XLA path; it stays opt-in until its
+    compiled TPU step time beats XLA's (the XLA fusion of the strided
+    slice unfold + transpose fold is already strong)."""
+    import os
+
+    mode = os.environ.get("AUTOPROG_FUSED_OUTLOOK", "0")
+    supported = (kernel_size == 3 and stride == 2 and padding == 1
+                 and H % 2 == 0 and W % 2 == 0)
+    return mode == "1" and supported
+
+
 def dense(features: int, *, use_bias: bool = True, dtype=jnp.bfloat16,
           name: Optional[str] = None) -> nn.Dense:
     return nn.Dense(features, use_bias=use_bias, dtype=dtype,
@@ -132,10 +148,16 @@ class OutlookAttention(nn.Module):
         # op omits it (asserted rather than silently ignored).
         if self.attn_drop:
             raise NotImplementedError("attn_drop>0 unsupported in fused outlook op")
-        out = outlook_attention(
-            v, attn_logits, num_heads=self.num_heads,
-            kernel_size=self.kernel_size, stride=self.stride,
-            padding=self.padding, scale=head_dim ** -0.5)
+        if _use_fused_outlook(self.kernel_size, self.stride, self.padding,
+                              H, W):
+            from autoprog_tpu.ops.outlook_pallas import outlook_attention_fused
+            out = outlook_attention_fused(v, attn_logits, self.num_heads,
+                                          head_dim ** -0.5)
+        else:
+            out = outlook_attention(
+                v, attn_logits, num_heads=self.num_heads,
+                kernel_size=self.kernel_size, stride=self.stride,
+                padding=self.padding, scale=head_dim ** -0.5)
         out = dense(C, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out

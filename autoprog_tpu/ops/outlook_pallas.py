@@ -1,0 +1,218 @@
+"""Fused Pallas TPU kernel for outlook attention.
+
+Replaces the cuDNN im2col pipeline of the reference
+(`models/volo.py:74-98`: Unfold -> softmax(attn) @ v -> Fold) with ONE
+kernel that keeps the whole per-image working set in VMEM: the unfolded
+value patches and the attended patches (the two large intermediates the
+XLA path round-trips through HBM) never leave the chip's vector memory.
+
+Shapes (VOLO @224, stage 0): v [B,28,28,192], attn [B,14,14,6*81] —
+~4 MB/program working set, well inside VMEM. The grid is (B,): one
+program per image.
+
+Kernel structure (stride 2, kernel 3, padding 1 — the only VOLO config):
+  * unfold  = parity reshapes of the padded map (no strided slices);
+  * fold    = the scatter-free parity composition: output rows/cols split
+    by parity receive contributions from at most 2 window offsets per
+    axis, so fold is pad + add + interleave (stack/reshape) — MXU/VPU
+    friendly, no scatter;
+  * softmax in f32; the attend step is a batched 9x9 @ 9xd einsum.
+
+`outlook_attention_fused` wraps the kernel in a custom_vjp whose backward
+is the XLA composition of the same adjoint pieces (fold/unfold swap roles),
+so the op is trainable. Numerics are bit-checked against the XLA reference
+path (`ops/outlook.py`) in tests/test_outlook_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from autoprog_tpu.ops.unfold import fold_nhwc, unfold_nhwc
+
+
+def _interleave(a: jax.Array, b: jax.Array, axis: int) -> jax.Array:
+    """[n, ...],[n, ...] -> [2n, ...] alternating a0,b0,a1,b1,..."""
+    stacked = jnp.stack([a, b], axis=axis + 1)
+    shape = list(a.shape)
+    shape[axis] *= 2
+    return stacked.reshape(shape)
+
+
+def _row_slabs(padded: jax.Array, h: int):
+    """padded [2h+2, W2, C] -> the three stride-2 row slabs [h, W2, C]
+    for window offsets ki = 0, 1, 2."""
+    W2, C = padded.shape[1], padded.shape[2]
+    pairs = padded.reshape(h + 1, 2, W2, C)
+    even, odd = pairs[:, 0], pairs[:, 1]
+    return even[:h], odd[:h], even[1:]
+
+
+def _col_slabs(rows: jax.Array, w: int):
+    """rows [h, 2w+2, C] -> three stride-2 column slabs [h, w, C]."""
+    hh, C = rows.shape[0], rows.shape[2]
+    pairs = rows.reshape(hh, w + 1, 2, C)
+    even, odd = pairs[:, :, 0], pairs[:, :, 1]
+    return even[:, :w], odd[:, :w], even[:, 1:]
+
+
+def _fold_axis(s0: jax.Array, s1: jax.Array, s2: jax.Array, axis: int):
+    """Parity composition along `axis`: even positions get s0[m] + s2[m-1]
+    (zero-padded at the ends), odd positions get s1[m]."""
+    n = s0.shape[axis]
+    padc = [(0, 0)] * s0.ndim
+    pad_lo = list(padc)
+    pad_lo[axis] = (0, 1)
+    pad_hi = list(padc)
+    pad_hi[axis] = (1, 0)
+    even = jnp.pad(s0, pad_lo) + jnp.pad(s2, pad_hi)   # [n+1, ...]
+    pad_odd = list(padc)
+    pad_odd[axis] = (0, 1)
+    odd = jnp.pad(s1, pad_odd)                          # [n+1, ...]
+    return _interleave(even, odd, axis)                 # [2n+2, ...]
+
+
+def _kernel(v_ref, attn_ref, ee_ref, eo_ref, oe_ref, oo_ref, *,
+            scale: float, h: int, w: int):
+    """One (image, head) per program: v_ref [1,1,H,W,d], attn_ref
+    [1,1,n,9,9] (both pre-shaped outside — Mosaic cannot split lane dims
+    in-kernel and block dims must be full or 128-divisible); outputs are
+    the four fold parity planes [1,1,h+1,w+1,d]."""
+    H, W, d = v_ref.shape[2], v_ref.shape[3], v_ref.shape[4]
+    v = v_ref[0, 0]
+    padded = jnp.pad(v, ((1, 1), (1, 1), (0, 0)))       # [H+2, W+2, d]
+
+    r0, r1, r2 = _row_slabs(padded, h)
+    slabs = []
+    for r in (r0, r1, r2):
+        slabs.extend(_col_slabs(r, w))                  # 9 x [h, w, d]
+    patches = jnp.stack(slabs, axis=2)                  # [h, w, 9, d]
+    patches = patches.reshape(h * w, 9, d)              # leading merge only
+
+    att = attn_ref[0, 0]                                # [n, 9, 9]
+    att = jax.nn.softmax(att.astype(jnp.float32) * scale, axis=-1)
+
+    # attend on the VPU: the 9x9 @ 9xd contraction is far too small for
+    # the 128x128 MXU (a batched-matmul lowering pads every 9x9 tile to a
+    # full MXU pass); as 81 broadcast FMAs over [n, d] it is pure vector
+    # work
+    pf = patches.astype(jnp.float32)
+    avs = []
+    for pp in range(9):
+        acc = att[:, pp, 0][:, None] * pf[:, 0]
+        for q in range(1, 9):
+            acc = acc + att[:, pp, q][:, None] * pf[:, q]
+        avs.append(acc.astype(v.dtype))
+    av = jnp.stack(avs, axis=1)                         # [n, 9, d]
+    av = av.reshape(h, w, 9, d)
+
+    s = [av[:, :, i] for i in range(9)]                 # 9 x [h, w, d]
+
+    # scatter-free fold, parity-decomposed. Mosaic cannot interleave
+    # (insert-dim reshapes), so the kernel emits the 4 parity planes and
+    # XLA interleaves them outside (output-sized data only).
+    def padp(x, dm, dn):
+        return jnp.pad(x, ((dm, 1 - dm), (dn, 1 - dn), (0, 0)))
+
+    # S[3*ki + kj]; even/odd refer to output row/col parity in the padded
+    # frame: even gets offsets {0,2}, odd gets offset {1}
+    ee = (padp(s[0], 0, 0) + padp(s[2], 0, 1) + padp(s[6], 1, 0)
+          + padp(s[8], 1, 1))                           # [h+1, w+1, d]
+    eo = padp(s[1], 0, 0) + padp(s[7], 1, 0)
+    oe = padp(s[3], 0, 0) + padp(s[5], 0, 1)
+    oo = padp(s[4], 0, 0)
+    ee_ref[0, 0], eo_ref[0, 0] = ee, eo
+    oe_ref[0, 0], oo_ref[0, 0] = oe, oo
+
+
+def _forward(v: jax.Array, attn_logits: jax.Array, *, num_heads: int,
+             scale: float, interpret: bool = False) -> jax.Array:
+    B, H, W, C = v.shape
+    h, w = attn_logits.shape[1], attn_logits.shape[2]
+    n = h * w
+    d = C // num_heads
+    assert H == 2 * h and W == 2 * w, "fused kernel assumes stride 2"
+    # pre-shape in XLA (free): attention to [B, heads, n, 9, 9] and values
+    # to [B, heads, H, W, d] so every kernel block covers full trailing
+    # dims (Mosaic cannot split lane dims in-kernel and requires block
+    # dims to be full-size or 128-divisible)
+    att = attn_logits.reshape(B, n, num_heads, 81)
+    att = att.transpose(0, 2, 1, 3).reshape(B, num_heads, n, 9, 9)
+    v5 = v.reshape(B, H, W, num_heads, d).transpose(0, 3, 1, 2, 4)
+    kern = functools.partial(_kernel, scale=scale, h=h, w=w)
+    plane = jax.ShapeDtypeStruct((B, num_heads, h + 1, w + 1, d), v.dtype)
+    plane_spec = pl.BlockSpec((1, 1, h + 1, w + 1, d),
+                              lambda b, hd: (b, hd, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    ee, eo, oe, oo = pl.pallas_call(
+        kern,
+        grid=(B, num_heads),
+        in_specs=[
+            pl.BlockSpec((1, 1, H, W, d), lambda b, hd: (b, hd, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n, 9, 9), lambda b, hd: (b, hd, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(plane_spec, plane_spec, plane_spec, plane_spec),
+        out_shape=(plane, plane, plane, plane),
+        interpret=interpret,
+    )(v5, att)
+    # interleave the parity planes (XLA, output-sized data only)
+    rows_e = _interleave(ee, eo, axis=3)        # [B,hd,h+1,2w+2,d]
+    rows_o = _interleave(oe, oo, axis=3)
+    full = _interleave(rows_e, rows_o, axis=2)  # [B,hd,2h+2,2w+2,d]
+    out5 = full[:, :, 1:H + 1, 1:W + 1]
+    return out5.transpose(0, 2, 3, 1, 4).reshape(B, H, W, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def outlook_attention_fused(v, attn_logits, num_heads: int, scale: float,
+                            interpret: bool = False):
+    """Fused outlook attention (see module docstring).
+
+    Args match `ops.outlook.outlook_attention` with kernel_size=3,
+    stride=2, padding=1 fixed (the VOLO configuration).
+    """
+    return _forward(v, attn_logits, num_heads=num_heads, scale=scale,
+                    interpret=interpret)
+
+
+def _fwd(v, attn_logits, num_heads, scale, interpret):
+    out = _forward(v, attn_logits, num_heads=num_heads, scale=scale,
+                   interpret=interpret)
+    return out, (v, attn_logits)
+
+
+def _bwd(num_heads, scale, interpret, residuals, g):
+    """XLA adjoint: fold/unfold swap roles; softmax recomputed."""
+    v, attn_logits = residuals
+    B, H, W, C = v.shape
+    h, w = attn_logits.shape[1], attn_logits.shape[2]
+    d = C // num_heads
+    n = h * w
+
+    patches = unfold_nhwc(v, 3, 2, 1).reshape(B, n, 9, num_heads, d)
+    att = attn_logits.reshape(B, n, num_heads, 9, 9)
+    att = jax.nn.softmax(att.astype(jnp.float32) * scale, axis=-1)
+
+    dav = unfold_nhwc(g, 3, 2, 1).reshape(B, n, 9, num_heads, d)
+    datt = jnp.einsum("bnphd,bnqhd->bnhpq", dav.astype(jnp.float32),
+                      patches.astype(jnp.float32))
+    ds = att * (datt - jnp.sum(datt * att, axis=-1, keepdims=True))
+    dlogits = (ds * scale).astype(attn_logits.dtype)
+    dlogits = dlogits.reshape(B, h, w, num_heads * 81)
+
+    dpatches = jnp.einsum("bnhpq,bnphd->bnqhd", att,
+                          dav.astype(jnp.float32)).astype(v.dtype)
+    dv = fold_nhwc(dpatches.reshape(B, h, w, 3, 3, C), (H, W), 3, 2, 1)
+    return dv, dlogits
+
+
+outlook_attention_fused.defvjp(_fwd, _bwd)

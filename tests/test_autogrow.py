@@ -1,0 +1,95 @@
+"""AutoProg search math unit tests (`main_prog.py:1698-1819` parity)."""
+
+import numpy as np
+import pytest
+
+from autoprog_tpu.prog.autogrow import (
+    candidate_window,
+    fit_time_exponent,
+    parse_cfg,
+    score_candidates,
+)
+
+
+def test_parse_cfg():
+    assert parse_cfg("r128_l9") == (128, 9)
+
+
+def test_candidate_window_stage0():
+    r = (128, 160, 192, 224)
+    h = (12, 12, 12, 12)
+    l = (9, 12, 15, 18)
+    rs, hs, ls = candidate_window(r, h, l, 128, 12, 9, stage=0)
+    assert rs == [128, 192, 224]   # {min, mid, max}
+    assert hs == [12]
+    assert ls == [9, 15, 18]
+
+
+def test_candidate_window_later_stage_slides():
+    r = (128, 160, 192, 224)
+    h = (12, 12, 12, 12)
+    l = (9, 12, 15, 18)
+    # currently at (160, 12): window starts at current r, next l
+    rs, hs, ls = candidate_window(r, h, l, 160, 12, 12, stage=1)
+    assert rs == [160, 192]        # <=2 resolutions from current
+    assert ls == [15, 18]          # <=3 depths from the next one up
+    # at the top already
+    rs, hs, ls = candidate_window(r, h, l, 224, 12, 18, stage=3)
+    assert rs == [224] and ls == [18]
+
+
+def test_fit_time_exponent_recovers_powerlaw():
+    times = np.array([1.0, 2.0, 4.0, 8.0])
+    w_true = 0.7
+    losses = 3.0 * times ** (-w_true)
+    w = fit_time_exponent(times, losses)
+    assert abs(w - w_true) < 1e-4
+    # increasing loss with time -> negative exponent clamps to 0
+    assert fit_time_exponent(times, 3.0 * times ** 0.5) == 0.0
+
+
+def test_score_candidates_prefers_fast_learner():
+    """A candidate with lower mean loss AND lower step time must win."""
+    cfgs = ["r128_l9", "r224_l18"]
+    rounds = [
+        {"r128_l9": {"loss": 5.0, "time": 1.0},
+         "r224_l18": {"loss": 6.0, "time": 3.0}},
+        {"r128_l9": {"loss": 4.0}, "r224_l18": {"loss": 5.5}},
+    ]
+    best, table = score_candidates(rounds, cfgs, stage=0)
+    assert best == "r128_l9"
+    assert table["r128_l9"] < table["r224_l18"]
+
+
+def test_score_candidates_time_tradeoff():
+    """The criterion trades loss against measured step time: a slightly
+    worse loss wins when it is much cheaper (a 2-candidate power-law fit
+    is exact and ties by construction, so use 3)."""
+    cfgs = ["a_l1", "b_l2", "c_l3"]
+    rounds = [
+        {"a_l1": {"loss": 4.00, "time": 1.0},
+         "b_l2": {"loss": 3.80, "time": 2.0},
+         "c_l3": {"loss": 3.75, "time": 8.0}},
+    ]
+    best, table = score_candidates(rounds, cfgs, stage=0)
+    # c has the best raw loss but is 8x slower; with the fitted w its
+    # converge-speed score must not beat the cheap candidates
+    assert best in ("a_l1", "b_l2")
+    assert table[best] <= table["c_l3"]
+
+
+def test_score_candidates_taylor_branch_runs():
+    """>3 probe rounds exercises the delta/taylor extrapolation branch."""
+    cfgs = ["r1_l1", "r2_l2"]
+    rng = np.random.RandomState(0)
+    rounds = []
+    for i in range(5):
+        r = {"r1_l1": {"loss": 5.0 - 0.5 * i},
+             "r2_l2": {"loss": 5.5 - 0.3 * i}}
+        if i == 0:
+            r["r1_l1"]["time"] = 1.0
+            r["r2_l2"]["time"] = 2.0
+        rounds.append(r)
+    best, table = score_candidates(rounds, cfgs, stage=1)
+    assert best in cfgs
+    assert all(np.isfinite(v) for v in table.values())
