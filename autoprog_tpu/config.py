@@ -65,6 +65,9 @@ def build_parser(prog: bool = False) -> argparse.ArgumentParser:
     g.add_argument("--batch-splits", type=int, default=1,
                    help="gradient-accumulation micro-steps per update "
                         "(scanned inside the jitted step)")
+    g.add_argument("--model-parallel", type=int, default=1,
+                   help="tensor-parallel size over the mesh 'model' axis "
+                        "(for the wide VOLO variants; 1 = pure DP)")
 
     # Optimizer
     g = parser.add_argument_group("optimizer")

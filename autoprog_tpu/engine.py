@@ -106,6 +106,12 @@ def init_model_state(ctx: TrainContext, model_name: str, dp: float,
                               ema_decays=ctx.ema_decays if args.model_ema
                               else ())
     state = replicate(ctx.mesh, state)
+    if getattr(args, "model_parallel", 1) > 1:
+        from autoprog_tpu.parallel.tp import shard_state_tp, validate_tp
+        validate_tp(ctx.mesh, tuple(mdef.arch.num_heads)
+                    if hasattr(mdef.arch, "num_heads")
+                    else (mdef.arch.num_heads,))
+        state = shard_state_tp(ctx.mesh, state)
     sb = StepBuilder(
         model=model, tx=tx, train_loss=ctx.train_loss,
         ema_decays=ctx.ema_decays if args.model_ema else (),
@@ -121,7 +127,7 @@ def init_model_state(ctx: TrainContext, model_name: str, dp: float,
 def setup(args, args_text: str, *, prog: bool, output_dir: str = "",
           initial_model: Optional[str] = None) -> TrainContext:
     """Common setup mirroring `main()` (`main_prog.py:334-751`)."""
-    mesh = make_mesh()
+    mesh = make_mesh(model_parallel=getattr(args, "model_parallel", 1))
     if args.num_classes is None:
         args.num_classes = 1000 if not args.data_dir.startswith("synthetic") \
             else args.num_classes or 1000
@@ -380,6 +386,9 @@ def create_stage_model_and_state(ctx: TrainContext, new_model_name: str, *,
     ctx.state = ctx.state.replace(params=replicate(ctx.mesh, new_params),
                                   batch_stats=replicate(ctx.mesh, new_stats),
                                   ema_params=replicate(ctx.mesh, new_ema))
+    if getattr(args, "model_parallel", 1) > 1:
+        from autoprog_tpu.parallel.tp import shard_state_tp
+        ctx.state = shard_state_tp(ctx.mesh, ctx.state)
 
 
 # ------------------------- checkpointing ---------------------------------
