@@ -148,6 +148,9 @@ def build_parser(prog: bool = False) -> argparse.ArgumentParser:
     g.add_argument("--native-amp", action="store_true", default=False, help="compat no-op")
     g.add_argument("--no-bf16", action="store_true", default=False,
                    help="compute in f32 instead of bf16")
+    g.add_argument("--remat", action="store_true", default=False,
+                   help="rematerialize transformer blocks in the backward "
+                        "pass (jax.checkpoint) to trade FLOPs for HBM")
     g.add_argument("--channels-last", action="store_true", default=False, help="compat no-op")
     g.add_argument("--pin-mem", action="store_true", default=False, help="compat no-op")
     g.add_argument("--no-prefetcher", action="store_true", default=False)
@@ -159,6 +162,10 @@ def build_parser(prog: bool = False) -> argparse.ArgumentParser:
     g.add_argument("--fake-data-size", type=int, default=1024,
                    help="samples per epoch for synthetic:// data")
     g.add_argument("--log-wandb", action="store_true", default=False, help="compat no-op")
+    g.add_argument("--profile", default="", type=str, metavar="DIR",
+                   help="capture a jax profiler trace of the first "
+                        "--profile-steps train steps into DIR")
+    g.add_argument("--profile-steps", default=10, type=int)
 
     # Token labeling
     g = parser.add_argument_group("token labeling")

@@ -83,7 +83,8 @@ def model_kwargs(args, dp: float, dtype) -> Dict[str, Any]:
                 img_size=(args.img_size or 224), drop_rate=args.drop,
                 drop_path_rate=dp, dtype=dtype,
                 mix_token=bool(args.token_label),
-                return_dense=bool(args.token_label))
+                return_dense=bool(args.token_label),
+                remat=getattr(args, "remat", False))
 
 
 def init_model_state(ctx: TrainContext, model_name: str, dp: float,
@@ -247,12 +248,21 @@ def train_one_epoch(ctx: TrainContext, epoch: int, loader: Loader, *,
     end = time.time()
     state = ctx.state
     last_metrics = None
+    profiling = bool(getattr(args, "profile", "")) and epoch == 0
     for batch_idx, batch in enumerate(loader):
+        if profiling and batch_idx == 1:  # skip the compile step
+            jax.profiler.start_trace(args.profile)
         data_time.update(time.time() - end)
         batch = shard_batch(ctx.mesh, batch)
         state, metrics = step(state, batch, lr, ctx.rng)
         last_metrics = metrics
         losses.append(metrics["loss"])
+        if profiling and batch_idx == min(args.profile_steps,
+                                          max(nb - 2, 1)):
+            jax.block_until_ready(metrics["loss"])
+            jax.profiler.stop_trace()
+            profiling = False
+            _logger.info("profiler trace written to %s", args.profile)
         if batch_idx % args.log_interval == 0 or batch_idx == nb - 1:
             jax.block_until_ready(last_metrics["loss"])
             bt = time.time() - end

@@ -93,6 +93,7 @@ class ModelDef:
              mix_token: Optional[bool] = None,
              return_dense: Optional[bool] = None,
              sync_bn_axis: Optional[str] = None,
+             remat: bool = False,
              **unused):
         a = self.arch
         if isinstance(a, VoloArch):
@@ -108,7 +109,7 @@ class ModelDef:
                 drop_path_rate=drop_path_rate,
                 mix_token=True if mix_token is None else mix_token,
                 return_dense=True if return_dense is None else return_dense,
-                dtype=dtype, sync_bn_axis=sync_bn_axis)
+                dtype=dtype, sync_bn_axis=sync_bn_axis, remat=remat)
         if isinstance(a, DeitArch):
             return VisionTransformer(
                 embed_dim=a.embed_dim, depth=a.depth, num_heads=a.num_heads,
@@ -116,7 +117,7 @@ class ModelDef:
                 num_classes=num_classes, distilled=a.distilled,
                 img_size=img_size, drop_rate=drop_rate,
                 attn_drop_rate=attn_drop_rate,
-                drop_path_rate=drop_path_rate, dtype=dtype)
+                drop_path_rate=drop_path_rate, dtype=dtype, remat=remat)
         raise TypeError(f"unknown arch {type(a)}")
 
 

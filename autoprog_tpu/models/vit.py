@@ -37,6 +37,7 @@ class VisionTransformer(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False,
@@ -80,10 +81,12 @@ class VisionTransformer(nn.Module):
         x = x + pe.astype(self.dtype)
         x = nn.Dropout(self.drop_rate)(x, deterministic=not train)
 
+        BlockCls = nn.remat(TransformerBlock) if self.remat else \
+            TransformerBlock
         for i in range(self.depth):
             if keep_flat[i]:
                 dp = (self.drop_path_rate * i / max(self.depth - 1, 1))
-                x = TransformerBlock(
+                x = BlockCls(
                     num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                     qkv_bias=self.qkv_bias, attn_drop=self.attn_drop_rate,
                     drop_path=dp, dtype=self.dtype,

@@ -65,6 +65,7 @@ class VOLO(nn.Module):
     out_padding: int = 1
     dtype: jnp.dtype = jnp.bfloat16
     sync_bn_axis: Optional[str] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False,
@@ -119,8 +120,12 @@ class VOLO(nn.Module):
                 pos_added = True
             for i in range(self.layers[s]):
                 if keep[s][i]:
+                    OutlookerCls = nn.remat(Outlooker, static_argnums=()) \
+                        if self.remat else Outlooker
+                    TransformerCls = nn.remat(TransformerBlock) \
+                        if self.remat else TransformerBlock
                     if self.outlook_attention[s]:
-                        x = Outlooker(
+                        x = OutlookerCls(
                             num_heads=self.num_heads[s],
                             kernel_size=self.out_kernel,
                             padding=self.out_padding,
@@ -133,7 +138,7 @@ class VOLO(nn.Module):
                     else:
                         B, H, W, C = x.shape
                         x = x.reshape(B, H * W, C)
-                        x = TransformerBlock(
+                        x = TransformerCls(
                             num_heads=self.num_heads[s],
                             mlp_ratio=self.mlp_ratios[s],
                             qkv_bias=self.qkv_bias,
