@@ -246,6 +246,8 @@ def train_one_epoch(ctx: TrainContext, epoch: int, loader: Loader, *,
     losses: List[Any] = []
     nb = len(loader)
     end = time.time()
+    epoch_start = end
+    last_log_idx, last_log_t = 0, end
     state = ctx.state
     last_metrics = None
     profiling = bool(getattr(args, "profile", "")) and epoch == 0
@@ -265,15 +267,16 @@ def train_one_epoch(ctx: TrainContext, epoch: int, loader: Loader, *,
             _logger.info("profiler trace written to %s", args.profile)
         if batch_idx % args.log_interval == 0 or batch_idx == nb - 1:
             jax.block_until_ready(last_metrics["loss"])
-            bt = time.time() - end
-            batch_time.update(bt)
+            now = time.time()
             if ctx.is_primary:
-                rate = batch["label"].shape[0] * jax.process_count() * max(
-                    batch_idx % args.log_interval, 1) / max(bt, 1e-9)
+                steps = batch_idx - last_log_idx
+                rate = (batch["label"].shape[0] * jax.process_count() * steps
+                        / max(now - last_log_t, 1e-9)) if steps else 0.0
                 _logger.info(
                     "Train%s: %d [%4d/%d]  Loss: %.4f  LR: %.3e  "
-                    "Data: %.3fs", log_suffix, epoch, batch_idx, nb,
-                    float(metrics["loss"]), lr, data_time.avg)
+                    "%.1f img/s  Data: %.3fs", log_suffix, epoch, batch_idx,
+                    nb, float(metrics["loss"]), lr, rate, data_time.avg)
+            last_log_idx, last_log_t = batch_idx, now
             if ctx.saver is not None and args.recovery_interval and \
                     (batch_idx + 1) % args.recovery_interval == 0:
                 ctx.state = state
@@ -282,7 +285,7 @@ def train_one_epoch(ctx: TrainContext, epoch: int, loader: Loader, *,
     ctx.state = state
     mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
     if epoch_time_m is not None:
-        epoch_time_m.update(batch_time.sum)
+        epoch_time_m.update(time.time() - epoch_start)
     return {"loss": mean_loss}
 
 
