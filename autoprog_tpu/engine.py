@@ -277,6 +277,11 @@ def train_one_epoch(ctx: TrainContext, epoch: int, loader: Loader, *,
                     "%.1f img/s  Data: %.3fs", log_suffix, epoch, batch_idx,
                     nb, float(metrics["loss"]), lr, rate, data_time.avg)
             last_log_idx, last_log_t = batch_idx, now
+            if args.save_images and ctx.output_dir and batch_idx == 0 \
+                    and ctx.is_primary:
+                _save_image_grid(batch["image"],
+                                 f"{ctx.output_dir}/train-batch-{epoch}.jpg",
+                                 ctx.data_config)
             if ctx.saver is not None and args.recovery_interval and \
                     (batch_idx + 1) % args.recovery_interval == 0:
                 ctx.state = state
@@ -287,6 +292,24 @@ def train_one_epoch(ctx: TrainContext, epoch: int, loader: Loader, *,
     if epoch_time_m is not None:
         epoch_time_m.update(time.time() - epoch_start)
     return {"loss": mean_loss}
+
+
+def _save_image_grid(images, path: str, data_config) -> None:
+    """Debug dump of the (normalized) input batch (`--save-images`,
+    `main_prog.py:1069-1075`)."""
+    import numpy as np
+    from PIL import Image
+    x = np.asarray(images[:16]).astype(np.float32)
+    x = x * np.asarray(data_config["std"]) + np.asarray(data_config["mean"])
+    x = (np.clip(x, 0, 1) * 255).astype(np.uint8)
+    n, h, w, _ = x.shape
+    cols = 4
+    rows = (n + cols - 1) // cols
+    grid = np.zeros((rows * h, cols * w, 3), np.uint8)
+    for i in range(n):
+        r, c = divmod(i, cols)
+        grid[r * h:(r + 1) * h, c * w:(c + 1) * w] = x[i]
+    Image.fromarray(grid).save(path, quality=90)
 
 
 def evaluate(ctx: TrainContext, loader: Loader, *, keep=None,

@@ -66,3 +66,43 @@ def test_main_prog_resume_after_growth(tmp_path):
         "--drop-path", "0.0", "--resume", snap,
         "--output", str(tmp_path / "resumed")])
     assert best is not None
+
+
+def test_finetune_pos_embed_resize(tmp_path):
+    """--finetune loads a checkpoint trained at another resolution /
+    class count: pos-embed bicubic-resized, heads dropped (utils/utils.py
+    semantics)."""
+    import jax
+    import jax.numpy as jnp
+    from autoprog_tpu.finetune import load_pretrained_weights
+    from autoprog_tpu.registry import create_model
+    from autoprog_tpu.train.checkpoint import save_checkpoint_file
+    from flax import serialization
+
+    src = create_model("deit_h2_l2").make(num_classes=5, img_size=32,
+                                          dtype=jnp.float32)
+    sv = src.init({"params": jax.random.PRNGKey(0)},
+                  jnp.zeros((1, 32, 32, 3)), train=False)["params"]
+    ckpt = str(tmp_path / "pre.ckpt")
+    save_checkpoint_file(ckpt, {
+        "arch": "deit_h2_l2",
+        "state_dict": serialization.to_state_dict(
+            jax.tree.map(lambda x: __import__("numpy").asarray(x), sv))})
+
+    dst = create_model("deit_h2_l2").make(num_classes=7, img_size=64,
+                                          dtype=jnp.float32)
+    dv = dst.init({"params": jax.random.PRNGKey(1)},
+                  jnp.zeros((1, 64, 64, 3)), train=False)["params"]
+    out = load_pretrained_weights(dv, ckpt, num_classes=7)
+    # pos embed resized to the 64px grid (4x4 -> 16 + 1 cls)
+    assert out["pos_embed"].shape == dv["pos_embed"].shape
+    # head kept at init (class count changed), other weights transferred
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(out["s0b0"]["attn"]["qkv"]["kernel"]),
+                               np.asarray(sv["s0b0"]["attn"]["qkv"]["kernel"]))
+    np.testing.assert_allclose(np.asarray(out["head"]["kernel"]),
+                               np.asarray(dv["head"]["kernel"]))
+    # the loaded params run at the new resolution
+    logits = dst.apply({"params": out}, jnp.ones((1, 64, 64, 3)),
+                       train=False)
+    assert logits.shape == (1, 7)
