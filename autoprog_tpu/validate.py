@@ -53,6 +53,12 @@ def build_parser():
     p.add_argument("--log-interval", type=int, default=50)
     p.add_argument("--results-file", default="")
     p.add_argument("--no-bf16", action="store_true", default=False)
+    p.add_argument("--tta", type=int, default=0,
+                   help="average logits over groups of N consecutive "
+                        "samples (augmentation reduction, validate.py:228)")
+    p.add_argument("--real-labels", default="", type=str, metavar="JSON",
+                   help="ImageNet-Real relabeled eval: JSON list mapping "
+                        "the sorted val images to acceptable label sets")
     p.add_argument("--fake-data-size", type=int, default=256)
     p.add_argument("--input-size", default=None, nargs=3, type=int)
     return p
@@ -113,9 +119,40 @@ def validate(args) -> dict:
                 num_workers=args.workers)
             sums = {"loss_sum": 0.0, "top1_sum": 0.0, "top5_sum": 0.0,
                     "count": 0.0}
+            real = _RealLabels(args.real_labels, ds) if args.real_labels \
+                else None
+            sample_idx = 0
             for i, batch in enumerate(loader):
                 batch = shard_batch(mesh, batch)
-                m = step(params, batch_stats, batch)
+                if args.tta and args.tta > 1:
+                    t = args.tta
+                    logits = model.apply(
+                        {"params": params, **({"batch_stats": batch_stats}
+                                              if batch_stats else {})},
+                        batch["image"], train=False)
+                    if isinstance(logits, tuple):
+                        logits = logits[0]
+                    n = (logits.shape[0] // t) * t
+                    logits = logits[:n].reshape(-1, t, logits.shape[-1]) \
+                        .mean(axis=1)
+                    batch = {"image": batch["image"][:n:t],
+                             "label": batch["label"][:n:t],
+                             "_logits": logits}
+                    m = _metrics_from_logits(logits, batch["label"])
+                else:
+                    m = step(params, batch_stats, batch)
+                if real is not None:
+                    logits = batch.get("_logits")
+                    if logits is None:
+                        logits = model.apply(
+                            {"params": params,
+                             **({"batch_stats": batch_stats}
+                                if batch_stats else {})},
+                            batch["image"], train=False)
+                        if isinstance(logits, tuple):
+                            logits = logits[0]
+                    real.add(sample_idx, logits)
+                sample_idx += int(batch["label"].shape[0])
                 for k in sums:
                     sums[k] += float(m[k])
                 if i % args.log_interval == 0:
@@ -142,8 +179,50 @@ def validate(args) -> dict:
         "img_size": img,
         "crop_pct": args.crop_pct or data_config["crop_pct"],
     }
+    if args.real_labels and real is not None:
+        result["top1_real"] = round(real.top1, 4)
     _logger.info("Result: %s", result)
     return result
+
+
+def _metrics_from_logits(logits, labels):
+    import jax.numpy as jnp
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+    loss = -jnp.take_along_axis(logp, labels[:, None], -1)[:, 0]
+    top1 = (jnp.argmax(logits, -1) == labels)
+    k5 = jax.lax.top_k(logits, min(5, logits.shape[-1]))[1]
+    top5 = jnp.any(k5 == labels[:, None], -1)
+    return {"loss_sum": loss.sum(), "top1_sum": top1.sum(),
+            "top5_sum": top5.sum(),
+            "count": jnp.asarray(labels.shape[0], jnp.float32)}
+
+
+class _RealLabels:
+    """ImageNet-Real relabeled accuracy (reference uses timm
+    RealLabelsImagenet, `validate.py:175-203`): a JSON list of acceptable
+    label sets per val image in sorted-filename order; images with empty
+    sets are excluded."""
+
+    def __init__(self, json_path: str, dataset):
+        import json
+        with open(json_path) as f:
+            self.sets = json.load(f)
+        self.correct = 0
+        self.total = 0
+
+    def add(self, start_idx: int, logits) -> None:
+        import numpy as np
+        preds = np.asarray(logits.argmax(-1))
+        for j, p in enumerate(preds):
+            idx = start_idx + j
+            if idx >= len(self.sets) or not self.sets[idx]:
+                continue
+            self.total += 1
+            self.correct += int(p in self.sets[idx])
+
+    @property
+    def top1(self) -> float:
+        return 100.0 * self.correct / max(self.total, 1)
 
 
 def write_results(results_file: str, results: List[dict]) -> None:

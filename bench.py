@@ -66,7 +66,7 @@ def main():
     from autoprog_tpu.train.steps import StepBuilder
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    batch = 64 if on_tpu else 8
+    batch = 128 if on_tpu else 8  # measured best img/s at b=128 on v5e
     args = argparse.Namespace(
         opt="adamw", opt_eps=None, opt_betas=None, momentum=0.9,
         weight_decay=0.05, clip_grad=None, clip_mode="norm",
