@@ -79,12 +79,11 @@ def _fold_axis(s0: jax.Array, s1: jax.Array, s2: jax.Array, axis: int):
     return _interleave(even, odd, axis)                 # [2n+2, ...]
 
 
-def _kernel(v_ref, attn_ref, ee_ref, eo_ref, oe_ref, oo_ref, *,
-            scale: float, h: int, w: int):
+def _kernel(v_ref, attn_ref, o_ref, *, scale: float, h: int, w: int):
     """One (image, head) per program: v_ref [1,1,H,W,d], attn_ref
     [1,1,n,9,9] (both pre-shaped outside — Mosaic cannot split lane dims
-    in-kernel and block dims must be full or 128-divisible); outputs are
-    the four fold parity planes [1,1,h+1,w+1,d]."""
+    in-kernel and block dims must be full or 128-divisible),
+    o_ref [1,1,4,h+1,w+1,d] (the four fold parity planes)."""
     H, W, d = v_ref.shape[2], v_ref.shape[3], v_ref.shape[4]
     v = v_ref[0, 0]
     padded = jnp.pad(v, ((1, 1), (1, 1), (0, 0)))       # [H+2, W+2, d]
@@ -115,21 +114,25 @@ def _kernel(v_ref, attn_ref, ee_ref, eo_ref, oe_ref, oo_ref, *,
 
     s = [av[:, :, i] for i in range(9)]                 # 9 x [h, w, d]
 
-    # scatter-free fold, parity-decomposed. Mosaic cannot interleave
-    # (insert-dim reshapes), so the kernel emits the 4 parity planes and
-    # XLA interleaves them outside (output-sized data only).
+    # scatter-free fold, parity-decomposed: even output rows/cols receive
+    # window offsets {0, 2}, odd ones offset {1}
     def padp(x, dm, dn):
         return jnp.pad(x, ((dm, 1 - dm), (dn, 1 - dn), (0, 0)))
 
-    # S[3*ki + kj]; even/odd refer to output row/col parity in the padded
-    # frame: even gets offsets {0,2}, odd gets offset {1}
     ee = (padp(s[0], 0, 0) + padp(s[2], 0, 1) + padp(s[6], 1, 0)
           + padp(s[8], 1, 1))                           # [h+1, w+1, d]
     eo = padp(s[1], 0, 0) + padp(s[7], 1, 0)
     oe = padp(s[3], 0, 0) + padp(s[5], 0, 1)
     oo = padp(s[4], 0, 0)
-    ee_ref[0, 0], eo_ref[0, 0] = ee, eo
-    oe_ref[0, 0], oo_ref[0, 0] = oe, oo
+
+    # the kernel emits the four parity planes through one 6-D output
+    # (slice writes only — Mosaic cannot lower the insert-dim reshapes an
+    # in-kernel interleave would need); XLA interleaves them outside on
+    # output-sized data
+    o_ref[0, 0, 0] = ee
+    o_ref[0, 0, 1] = eo
+    o_ref[0, 0, 2] = oe
+    o_ref[0, 0, 3] = oo
 
 
 def _forward(v: jax.Array, attn_logits: jax.Array, *, num_heads: int,
@@ -147,11 +150,7 @@ def _forward(v: jax.Array, attn_logits: jax.Array, *, num_heads: int,
     att = att.transpose(0, 2, 1, 3).reshape(B, num_heads, n, 9, 9)
     v5 = v.reshape(B, H, W, num_heads, d).transpose(0, 3, 1, 2, 4)
     kern = functools.partial(_kernel, scale=scale, h=h, w=w)
-    plane = jax.ShapeDtypeStruct((B, num_heads, h + 1, w + 1, d), v.dtype)
-    plane_spec = pl.BlockSpec((1, 1, h + 1, w + 1, d),
-                              lambda b, hd: (b, hd, 0, 0, 0),
-                              memory_space=pltpu.VMEM)
-    ee, eo, oe, oo = pl.pallas_call(
+    planes = pl.pallas_call(
         kern,
         grid=(B, num_heads),
         in_specs=[
@@ -160,10 +159,20 @@ def _forward(v: jax.Array, attn_logits: jax.Array, *, num_heads: int,
             pl.BlockSpec((1, 1, n, 9, 9), lambda b, hd: (b, hd, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(plane_spec, plane_spec, plane_spec, plane_spec),
-        out_shape=(plane, plane, plane, plane),
+        out_specs=pl.BlockSpec((1, 1, 4, h + 1, w + 1, d),
+                               lambda b, hd: (b, hd, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, num_heads, 4, h + 1, w + 1, d), v.dtype),
+        # XLA's memory-space assignment stages the full plane output in
+        # vmem; the default 16MB scoped limit rejects it at VOLO batch
+        # sizes — raise it (v5e has headroom)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(v5, att)
+    ee, eo = planes[:, :, 0], planes[:, :, 1]
+    oe, oo = planes[:, :, 2], planes[:, :, 3]
     # interleave the parity planes (XLA, output-sized data only)
     rows_e = _interleave(ee, eo, axis=3)        # [B,hd,h+1,2w+2,d]
     rows_o = _interleave(oe, oo, axis=3)
