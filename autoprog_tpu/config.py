@@ -105,6 +105,11 @@ def build_parser(prog: bool = False) -> argparse.ArgumentParser:
     g.add_argument("--vflip", type=float, default=0.0)
     g.add_argument("--color-jitter", type=float, default=0.0)
     g.add_argument("--aa", type=str, default="rand-m9-mstd0.5-inc1")
+    g.add_argument("--aug-splits", type=int, default=0,
+                   help="AugMix-style splits: each sample yields one clean "
+                        "+ N-1 augmented views, concatenated in the batch")
+    g.add_argument("--jsd", action="store_true", default=False,
+                   help="JSD consistency loss across aug splits")
     g.add_argument("--reprob", type=float, default=0.25)
     g.add_argument("--remode", type=str, default="pixel")
     g.add_argument("--recount", type=int, default=1)

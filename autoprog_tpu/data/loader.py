@@ -32,10 +32,13 @@ from autoprog_tpu.data.transforms import CropParams, EvalTransform, TrainTransfo
 _WORKER_STATE = {}
 
 
-def _worker_init(dataset, transform, label_map_hw):
+def _worker_init(dataset, transform, label_map_hw, clean_transform=None,
+                 aug_splits=0):
     _WORKER_STATE["dataset"] = dataset
     _WORKER_STATE["transform"] = transform
     _WORKER_STATE["label_map_hw"] = label_map_hw
+    _WORKER_STATE["clean_transform"] = clean_transform
+    _WORKER_STATE["aug_splits"] = aug_splits
 
 
 def crop_label_maps(scores: np.ndarray, inds: np.ndarray, cp: CropParams,
@@ -67,6 +70,14 @@ def _load_one(args):
         rng = ds.aug_rng(idx, 0)
     else:
         rng = np.random.default_rng(seed)
+    splits = _WORKER_STATE.get("aug_splits") or 0
+    if splits > 1:
+        # AugMix-style views: one clean + N-1 augmented of the same sample
+        clean_tf = _WORKER_STATE["clean_transform"]
+        xs = [clean_tf(img, np.random.default_rng(seed))[0]]
+        for k in range(1, splits):
+            xs.append(tf(img, np.random.default_rng((seed, k)))[0])
+        return np.stack(xs), label, None
     x, cp = tf(img, rng)
     out_maps = None
     if maps is not None:
@@ -80,7 +91,8 @@ class Loader:
                  num_workers: int = 4, seed: int = 42,
                  label_map_hw: int = 14, drop_last: Optional[bool] = None,
                  process_index: int = 0, process_count: int = 1,
-                 prefetch: int = 3):
+                 prefetch: int = 3, aug_splits: int = 0,
+                 clean_transform=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.is_training = is_training
@@ -93,6 +105,8 @@ class Loader:
         self.process_index = process_index
         self.process_count = process_count
         self.prefetch = prefetch
+        self.aug_splits = aug_splits
+        self.clean_transform = clean_transform
         self.epoch = 0
         self._pool = None
 
@@ -128,9 +142,11 @@ class Loader:
             ctx = mp.get_context("fork")
             self._pool = ctx.Pool(
                 self.num_workers, initializer=_worker_init,
-                initargs=(self.dataset, self.transform, self.label_map_hw))
+                initargs=(self.dataset, self.transform, self.label_map_hw,
+                          self.clean_transform, self.aug_splits))
         if self.num_workers == 0 and not _WORKER_STATE.get("inline"):
-            _worker_init(self.dataset, self.transform, self.label_map_hw)
+            _worker_init(self.dataset, self.transform, self.label_map_hw,
+                         self.clean_transform, self.aug_splits)
             _WORKER_STATE["inline"] = True
 
     def close(self):
@@ -142,6 +158,13 @@ class Loader:
 
     def _collate(self, samples) -> Dict[str, np.ndarray]:
         xs, labels, maps = zip(*samples)
+        if self.aug_splits > 1:
+            # [B, splits, H, W, C] -> concatenated splits [splits*B, ...]
+            # (clean split first — the timm AugMixDataset batch layout)
+            stacked = np.stack(xs).astype(np.float32)
+            image = np.concatenate(
+                [stacked[:, k] for k in range(self.aug_splits)], axis=0)
+            return {"image": image, "label": np.asarray(labels, np.int32)}
         batch: Dict[str, np.ndarray] = {
             "image": np.stack(xs).astype(np.float32),
             "label": np.asarray(labels, np.int32),
@@ -159,7 +182,8 @@ class Loader:
         self._ensure_pool()
         if self.num_workers == 0:
             # refresh inline state (transform may have changed between stages)
-            _worker_init(self.dataset, self.transform, self.label_map_hw)
+            _worker_init(self.dataset, self.transform, self.label_map_hw,
+                         self.clean_transform, self.aug_splits)
         idxs = self._indices()
         base = np.random.SeedSequence([self.seed, self.epoch]).generate_state(1)[0]
         args = [(int(i), int(base) + int(i)) for i in idxs]

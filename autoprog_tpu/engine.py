@@ -170,7 +170,7 @@ def make_train_loader(ctx: TrainContext, *, aa: str, re_prob: float,
                   token_label=bool(args.token_label_data)) \
         if mixup_active else None
     per_host = (batch_size or args.batch_size) // jax.process_count()
-    return create_loader(
+    loader = create_loader(
         ds, input_size=ctx.data_config["input_size"][-1],
         batch_size=per_host, is_training=True, re_prob=re_prob,
         re_mode=args.remode, re_count=args.recount, scale=resize,
@@ -181,6 +181,15 @@ def make_train_loader(ctx: TrainContext, *, aa: str, re_prob: float,
         num_workers=args.workers, mixup=mixup, seed=args.seed,
         no_aug=args.no_aug, process_index=jax.process_index(),
         process_count=jax.process_count())
+    if getattr(args, "aug_splits", 0) > 1:
+        from autoprog_tpu.data.transforms import TrainTransform
+        loader.aug_splits = args.aug_splits
+        loader.clean_transform = TrainTransform(
+            size=ctx.data_config["input_size"][-1], scale=tuple(resize),
+            ratio=tuple(args.ratio), hflip=args.hflip, vflip=args.vflip,
+            interpolation=args.train_interpolation,
+            mean=ctx.data_config["mean"], std=ctx.data_config["std"])
+    return loader
 
 
 def make_eval_loader(ctx: TrainContext) -> Loader:

@@ -99,8 +99,43 @@ def token_label_soft_target_cross_entropy(logits, target) -> jax.Array:
     return _soft_ce(logits, target)
 
 
+def jsd_cross_entropy(logits, labels, *, num_splits: int = 3,
+                      alpha: float = 12.0, smoothing: float = 0.1,
+                      num_classes: int | None = None) -> jax.Array:
+    """JSD consistency loss for AugMix-style aug splits (timm
+    JsdCrossEntropy, used via `--jsd` + `--aug-splits` at
+    `main.py:760-765` in the reference): hard CE on the clean split +
+    alpha * mean KL(p_i || M) with M the mean softmax across splits."""
+    logits = logits.astype(jnp.float32)
+    C = num_classes or logits.shape[-1]
+    chunks = jnp.split(logits, num_splits, axis=0)
+    off = smoothing / C
+    on = 1.0 - smoothing + off
+    target = jax.nn.one_hot(labels, C) * (on - off) + off
+    clean_ce = jnp.mean(jnp.sum(-target * jax.nn.log_softmax(chunks[0]), -1))
+    probs = [jax.nn.softmax(c, -1) for c in chunks]
+    mixture = jnp.clip(sum(probs) / num_splits, 1e-7, 1.0)
+    log_m = jnp.log(mixture)
+    kl = sum(jnp.sum(p * (jnp.log(jnp.clip(p, 1e-7, 1.0)) - log_m), -1)
+             for p in probs) / num_splits
+    return clean_ce + alpha * jnp.mean(kl)
+
+
 def build_train_loss(args):
-    """Pick the training loss from flags (`main_prog.py:712-733`)."""
+    """Pick the training loss from flags (`main_prog.py:712-733`;
+    JSD branch from `main.py` aug-splits support)."""
+    if getattr(args, "jsd", False) and getattr(args, "aug_splits", 0) > 1:
+        ns = args.aug_splits
+        sm = args.smoothing
+        nc = args.num_classes
+
+        def jsd_loss(out, batch_or_labels):
+            logits = out[0] if isinstance(out, tuple) else out
+            return jsd_cross_entropy(logits, batch_or_labels,
+                                     num_splits=ns, smoothing=sm,
+                                     num_classes=nc)
+        jsd_loss.wants_int_labels = True
+        return jsd_loss
     if args.token_label:
         if args.token_label_size == 1:
             return lambda out, tgt: token_label_soft_target_cross_entropy(

@@ -68,6 +68,8 @@ class StepBuilder:
 
     def _build_target(self, batch, r: int):
         """Device-side target prep, mirroring `main_prog.py:976-1004`."""
+        if getattr(self.train_loss, "wants_int_labels", False):
+            return batch["label"]
         if "soft_target" in batch:
             return batch["soft_target"]
         if self.token_label and self.has_token_label_data and "label_scores" in batch:

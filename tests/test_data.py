@@ -166,3 +166,32 @@ def test_create_dataset_synthetic():
     assert len(ds) == 16
     img, label, _ = ds.load(3)
     assert 0 <= label < 7
+
+
+def test_aug_splits_batch_layout():
+    from autoprog_tpu.data.transforms import RandAugment
+    ds = SyntheticDataset(size=8, num_classes=5, image_size=40)
+    clean = TrainTransform(size=32)
+    aug = TrainTransform(size=32, rand_augment=RandAugment(magnitude=9))
+    ld = Loader(ds, batch_size=4, is_training=True, transform=aug,
+                num_workers=0, aug_splits=3, clean_transform=clean)
+    b = next(iter(ld))
+    assert b["image"].shape == (12, 32, 32, 3)  # splits * B
+    assert b["label"].shape == (4,)
+
+
+def test_jsd_loss_properties():
+    import jax.numpy as jnp
+    from autoprog_tpu.losses import jsd_cross_entropy
+    rs = np.random.default_rng(0)
+    B, C = 4, 10
+    logits1 = jnp.asarray(rs.normal(size=(B, C)), jnp.float32)
+    labels = jnp.asarray(rs.integers(0, C, B))
+    # identical splits -> zero consistency term (pure clean CE)
+    same = jnp.concatenate([logits1, logits1, logits1], 0)
+    l_same = float(jsd_cross_entropy(same, labels, num_splits=3))
+    diff = jnp.concatenate(
+        [logits1, logits1 + 3.0,
+         jnp.asarray(rs.normal(size=(B, C)), jnp.float32)], 0)
+    l_diff = float(jsd_cross_entropy(diff, labels, num_splits=3))
+    assert l_diff > l_same
