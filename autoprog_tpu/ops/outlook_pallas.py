@@ -79,40 +79,45 @@ def _fold_axis(s0: jax.Array, s1: jax.Array, s2: jax.Array, axis: int):
     return _interleave(even, odd, axis)                 # [2n+2, ...]
 
 
-def _kernel(v_ref, attn_ref, o_ref, *, scale: float, h: int, w: int):
-    """One (image, head) per program: v_ref [1,1,H,W,d], attn_ref
-    [1,1,n,9,9] (both pre-shaped outside — Mosaic cannot split lane dims
-    in-kernel and block dims must be full or 128-divisible),
-    o_ref [1,1,4,h+1,w+1,d] (the four fold parity planes)."""
-    H, W, d = v_ref.shape[2], v_ref.shape[3], v_ref.shape[4]
-    v = v_ref[0, 0]
-    padded = jnp.pad(v, ((1, 1), (1, 1), (0, 0)))       # [H+2, W+2, d]
+def _kernel(v_ref, attn_ref, o_ref, *, scale: float, h: int, w: int,
+            num_heads: int):
+    """One image per program, all heads together. v_ref [1,H,W,C] with
+    channels permuted HEAD-MINOR (c' = d_idx*heads + head) so a per-head
+    attention scalar broadcasts across the full lane width via
+    tile-semantics pltpu.repeat. attn_ref [1,n,9,9,heads] (pre-shaped
+    outside; softmax over q in-kernel), o_ref [1,4,h+1,w+1,C] = fold
+    parity planes."""
+    H, W, C = v_ref.shape[1], v_ref.shape[2], v_ref.shape[3]
+    d = C // num_heads
+    out_dtype = o_ref.dtype
+    # all internals in f32: Mosaic rejects some of the slab/fold reshapes
+    # under bf16 (16,128) tiling, and f32 accumulation is wanted anyway
+    v = v_ref[0].astype(jnp.float32)
+    padded = jnp.pad(v, ((1, 1), (1, 1), (0, 0)))       # [H+2, W+2, C]
 
     r0, r1, r2 = _row_slabs(padded, h)
     slabs = []
     for r in (r0, r1, r2):
-        slabs.extend(_col_slabs(r, w))                  # 9 x [h, w, d]
-    patches = jnp.stack(slabs, axis=2)                  # [h, w, 9, d]
-    patches = patches.reshape(h * w, 9, d)              # leading merge only
+        slabs.extend(_col_slabs(r, w))                  # 9 x [h, w, C]
+    patches = jnp.stack(slabs, axis=2)                  # [h, w, 9, C]
+    patches = patches.reshape(h * w, 9, C)
 
-    att = attn_ref[0, 0]                                # [n, 9, 9]
-    att = jax.nn.softmax(att.astype(jnp.float32) * scale, axis=-1)
+    att = attn_ref[0]                                   # [n, 9, 9, heads]
+    att = jax.nn.softmax(att.astype(jnp.float32) * scale, axis=2)
 
-    # attend on the VPU: the 9x9 @ 9xd contraction is far too small for
-    # the 128x128 MXU (a batched-matmul lowering pads every 9x9 tile to a
-    # full MXU pass); as 81 broadcast FMAs over [n, d] it is pure vector
-    # work
-    pf = patches.astype(jnp.float32)
+    # attend on the VPU with full 192-lane tiles: the per-head scalar is
+    # tiled d times along lanes (head-minor channel order makes the tile
+    # pattern h0 h1 ... h0 h1 ... line up with the channels)
     avs = []
     for pp in range(9):
-        acc = att[:, pp, 0][:, None] * pf[:, 0]
+        acc = pltpu.repeat(att[:, pp, 0], d, 1) * patches[:, 0]
         for q in range(1, 9):
-            acc = acc + att[:, pp, q][:, None] * pf[:, q]
-        avs.append(acc.astype(v.dtype))
-    av = jnp.stack(avs, axis=1)                         # [n, 9, d]
-    av = av.reshape(h, w, 9, d)
+            acc = acc + pltpu.repeat(att[:, pp, q], d, 1) * patches[:, q]
+        avs.append(acc)
+    av = jnp.stack(avs, axis=1)                         # [n, 9, C]
+    av = av.reshape(h, w, 9, C)
 
-    s = [av[:, :, i] for i in range(9)]                 # 9 x [h, w, d]
+    s = [av[:, :, i] for i in range(9)]                 # 9 x [h, w, C]
 
     # scatter-free fold, parity-decomposed: even output rows/cols receive
     # window offsets {0, 2}, odd ones offset {1}
@@ -120,19 +125,18 @@ def _kernel(v_ref, attn_ref, o_ref, *, scale: float, h: int, w: int):
         return jnp.pad(x, ((dm, 1 - dm), (dn, 1 - dn), (0, 0)))
 
     ee = (padp(s[0], 0, 0) + padp(s[2], 0, 1) + padp(s[6], 1, 0)
-          + padp(s[8], 1, 1))                           # [h+1, w+1, d]
+          + padp(s[8], 1, 1))                           # [h+1, w+1, C]
     eo = padp(s[1], 0, 0) + padp(s[7], 1, 0)
     oe = padp(s[3], 0, 0) + padp(s[5], 0, 1)
     oo = padp(s[4], 0, 0)
 
-    # the kernel emits the four parity planes through one 6-D output
-    # (slice writes only — Mosaic cannot lower the insert-dim reshapes an
-    # in-kernel interleave would need); XLA interleaves them outside on
-    # output-sized data
-    o_ref[0, 0, 0] = ee
-    o_ref[0, 0, 1] = eo
-    o_ref[0, 0, 2] = oe
-    o_ref[0, 0, 3] = oo
+    # four parity planes through one 5-D output (slice writes only —
+    # Mosaic cannot lower the insert-dim reshapes an in-kernel interleave
+    # would need); XLA interleaves them outside on output-sized data
+    o_ref[0, 0] = ee.astype(out_dtype)
+    o_ref[0, 1] = eo.astype(out_dtype)
+    o_ref[0, 2] = oe.astype(out_dtype)
+    o_ref[0, 3] = oo.astype(out_dtype)
 
 
 def _forward(v: jax.Array, attn_logits: jax.Array, *, num_heads: int,
@@ -142,43 +146,42 @@ def _forward(v: jax.Array, attn_logits: jax.Array, *, num_heads: int,
     n = h * w
     d = C // num_heads
     assert H == 2 * h and W == 2 * w, "fused kernel assumes stride 2"
-    # pre-shape in XLA (free): attention to [B, heads, n, 9, 9] and values
-    # to [B, heads, H, W, d] so every kernel block covers full trailing
-    # dims (Mosaic cannot split lane dims in-kernel and requires block
-    # dims to be full-size or 128-divisible)
-    att = attn_logits.reshape(B, n, num_heads, 81)
-    att = att.transpose(0, 2, 1, 3).reshape(B, num_heads, n, 9, 9)
-    v5 = v.reshape(B, H, W, num_heads, d).transpose(0, 3, 1, 2, 4)
-    kern = functools.partial(_kernel, scale=scale, h=h, w=w)
+    # pre-shape in XLA (free): channels head-minor, attention [B,n,9,9,hd]
+    vp = v.reshape(B, H, W, num_heads, d).transpose(0, 1, 2, 4, 3)
+    vp = vp.reshape(B, H, W, C)
+    att = attn_logits.reshape(B, n, num_heads, 9, 9)
+    att = att.transpose(0, 1, 3, 4, 2)                  # [B,n,9,9,heads]
+    kern = functools.partial(_kernel, scale=scale, h=h, w=w,
+                             num_heads=num_heads)
     planes = pl.pallas_call(
         kern,
-        grid=(B, num_heads),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1, H, W, d), lambda b, hd: (b, hd, 0, 0, 0),
+            pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n, 9, 9), lambda b, hd: (b, hd, 0, 0, 0),
+            pl.BlockSpec((1, n, 9, 9, num_heads), lambda b: (b, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 4, h + 1, w + 1, d),
-                               lambda b, hd: (b, hd, 0, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 4, h + 1, w + 1, C),
+                               lambda b: (b, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (B, num_heads, 4, h + 1, w + 1, d), v.dtype),
-        # XLA's memory-space assignment stages the full plane output in
-        # vmem; the default 16MB scoped limit rejects it at VOLO batch
-        # sizes — raise it (v5e has headroom)
+        out_shape=jax.ShapeDtypeStruct((B, 4, h + 1, w + 1, C), v.dtype),
+        # XLA's memory-space assignment stages the plane output in vmem;
+        # the default 16MB scoped limit rejects it at VOLO batch sizes
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(v5, att)
-    ee, eo = planes[:, :, 0], planes[:, :, 1]
-    oe, oo = planes[:, :, 2], planes[:, :, 3]
+    )(vp, att)
+    ee, eo = planes[:, 0], planes[:, 1]
+    oe, oo = planes[:, 2], planes[:, 3]
     # interleave the parity planes (XLA, output-sized data only)
-    rows_e = _interleave(ee, eo, axis=3)        # [B,hd,h+1,2w+2,d]
-    rows_o = _interleave(oe, oo, axis=3)
-    full = _interleave(rows_e, rows_o, axis=2)  # [B,hd,2h+2,2w+2,d]
-    out5 = full[:, :, 1:H + 1, 1:W + 1]
-    return out5.transpose(0, 2, 3, 1, 4).reshape(B, H, W, C)
+    rows_e = _interleave(ee, eo, axis=2)        # [B,h+1,2w+2,C]
+    rows_o = _interleave(oe, oo, axis=2)
+    full = _interleave(rows_e, rows_o, axis=1)  # [B,2h+2,2w+2,C]
+    out = full[:, 1:H + 1, 1:W + 1]
+    # undo the head-minor channel permutation
+    out = out.reshape(B, H, W, d, num_heads).transpose(0, 1, 2, 4, 3)
+    return out.reshape(B, H, W, C)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))

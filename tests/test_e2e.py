@@ -106,3 +106,27 @@ def test_finetune_pos_embed_resize(tmp_path):
     logits = dst.apply({"params": out}, jnp.ones((1, 64, 64, 3)),
                        train=False)
     assert logits.shape == (1, 7)
+
+
+def test_main_prog_autogrow_full_pipeline(tmp_path):
+    """Flagship path (BASELINE config 4 analogue): elastic supernet
+    search -> convergence-speed decision -> shrink/grow -> training.
+    Slowest test in the suite (~2 min of CPU compiles) but it covers the
+    entire AutoProg machinery end-to-end."""
+    from autoprog_tpu.main_prog import main
+    best = main([
+        "synthetic://", "--model", "volo_h2_l4", "--num-classes", "8",
+        "-b", "16", "--warmup-epochs", "1", "--cooldown-epochs", "0",
+        "--lr", "1e-3", "--workers", "0", "--fake-data-size", "64",
+        "--no-bf16", "--img-size", "64", "--epochs", "4",
+        "--num-stages", "2", "--r-scale", "0.5", "--l-scale", "0.5",
+        "--drop-path", "0.0", "--auto-grow", "--search-epochs", "1",
+        "--search-probe-steps", "2", "--load-with-clone-ema",
+        "--model-ema", "--model-ema-decay", "0.9", "0.95", "0.99", "0.995",
+        "--output", str(tmp_path)])
+    assert best is not None
+    # the search checkpoints carry the supernet arch; the final ones the
+    # grown stage arch
+    import glob as g
+    assert g.glob(str(tmp_path / "train" / "*" / "last-search.ckpt"))
+    assert g.glob(str(tmp_path / "train" / "*" / "last.ckpt"))
