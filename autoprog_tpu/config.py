@@ -133,6 +133,10 @@ def build_parser(prog: bool = False) -> argparse.ArgumentParser:
                    help="cross-replica batch stats in the stem BN (lax.pmean over the data axis)")
     g.add_argument("--dist-bn", type=str, default="",
                    help="sync BN running stats across replicas each epoch ('reduce' or 'broadcast')")
+    g.add_argument("--recal-bn-steps", type=int, default=0,
+                   help="re-estimate stem BN running stats over N batches "
+                        "after each growth (recalibrate_bn, "
+                        "main_prog.py:1533)")
 
     # EMA
     g = parser.add_argument_group("ema")

@@ -21,7 +21,7 @@ tlt's `create_token_label_dataset` (SURVEY §2.2):
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -189,3 +189,24 @@ def create_dataset(name: str, root: str, split: str = "train",
     if fixed_aug:
         ds = FixedAugDataset(ds)
     return ds
+
+
+def get_mean_and_std(dataset, max_samples: int = 256):
+    """Per-channel mean/std of a dataset (reference `utils/utils.py:145`)."""
+    import numpy as np
+    acc = np.zeros(3)
+    acc2 = np.zeros(3)
+    n = 0
+    for i in range(min(len(dataset), max_samples)):
+        img = dataset.load(i)[0]
+        if not hasattr(img, "mode"):  # RawJpeg bytes -> decode
+            from io import BytesIO
+            from PIL import Image
+            img = Image.open(BytesIO(img)).convert("RGB")
+        x = np.asarray(img, np.float64) / 255.0
+        acc += x.mean(axis=(0, 1))
+        acc2 += (x ** 2).mean(axis=(0, 1))
+        n += 1
+    mean = acc / n
+    std = np.sqrt(np.maximum(acc2 / n - mean ** 2, 0))
+    return mean, std

@@ -13,7 +13,7 @@ ground-truth row is emitted as `gt_soft` for the loss's slot-0
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -25,13 +25,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from autoprog_tpu.config import parse_variant_name, resolve_data_config
+from autoprog_tpu.config import resolve_data_config
 from autoprog_tpu.data.dataset import create_dataset
 from autoprog_tpu.data.loader import Loader, create_loader
 from autoprog_tpu.data.mixup import Mixup
 from autoprog_tpu.losses import build_train_loss
 from autoprog_tpu.parallel.mesh import make_mesh, replicate, shard_batch
-from autoprog_tpu.prog.depth import volo_depth_split
 from autoprog_tpu.prog.growth import grow_batch_stats, grow_params, shrink_params
 from autoprog_tpu.registry import create_model
 from autoprog_tpu.train.checkpoint import (

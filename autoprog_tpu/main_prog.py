@@ -243,6 +243,11 @@ def main(argv=None):
                     loader_train = engine.make_train_loader(
                         ctx, aa=cur["aa"], re_prob=cur["re"],
                         resize=cur["resize"])
+                if args.recal_bn_steps and (cur["l"] != prev["l"]
+                                            or cur["h"] != prev["h"]):
+                    from autoprog_tpu.train.bn import recalibrate_bn
+                    recalibrate_bn(ctx, loader_train, r=cur["r"],
+                                   max_steps=args.recal_bn_steps)
                 _logger.info("stage %d: %s (batch splits %d)", stage, cur,
                              splits)
 

@@ -22,7 +22,7 @@ Conventions (important for the growth operators in prog/growth.py):
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

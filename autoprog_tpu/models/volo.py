@@ -20,7 +20,7 @@ the supernet search needs.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -27,8 +27,6 @@ path (`ops/outlook.py`) in tests/test_outlook_pallas.py.
 from __future__ import annotations
 
 import functools
-import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ from typing import Tuple
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from autoprog_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from autoprog_tpu.parallel.mesh import MODEL_AXIS
 
 _COL_PARALLEL = ("qkv", "kv", "q", "fc1", "v", "attn")  # shard out features
 _ROW_PARALLEL = ("proj", "fc2")                         # shard in features

@@ -12,7 +12,7 @@ and the supernet skip-mask computation in `models/volo.py:598-616`
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 from autoprog_tpu.prog.schedule import make_divisible
 

@@ -12,8 +12,6 @@ Reference parity (SURVEY §2.3.4, §7.3.7):
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

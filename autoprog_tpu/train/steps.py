@@ -23,8 +23,7 @@ candidate space is tiny (SURVEY §7.3.1) and programs are compiled lazily
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
