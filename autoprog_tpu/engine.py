@@ -251,7 +251,8 @@ def train_one_epoch(ctx: TrainContext, epoch: int, loader: Loader, *,
 
     batch_time = AverageMeter()
     data_time = AverageMeter()
-    losses: List[Any] = []
+    loss_sum = None  # device-side running sum; no per-step host sync
+    n_steps = 0
     nb = len(loader)
     end = time.time()
     epoch_start = end
@@ -266,7 +267,9 @@ def train_one_epoch(ctx: TrainContext, epoch: int, loader: Loader, *,
         batch = shard_batch(ctx.mesh, batch)
         state, metrics = step(state, batch, lr, ctx.rng)
         last_metrics = metrics
-        losses.append(metrics["loss"])
+        loss_sum = metrics["loss"] if loss_sum is None \
+            else loss_sum + metrics["loss"]
+        n_steps += 1
         if profiling and batch_idx == min(args.profile_steps,
                                           max(nb - 2, 1)):
             jax.block_until_ready(metrics["loss"])
@@ -296,7 +299,7 @@ def train_one_epoch(ctx: TrainContext, epoch: int, loader: Loader, *,
                 save_ckpt_recovery(ctx, epoch, batch_idx)
         end = time.time()
     ctx.state = state
-    mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+    mean_loss = float(loss_sum) / n_steps if n_steps else float("nan")
     if epoch_time_m is not None:
         epoch_time_m.update(time.time() - epoch_start)
     return {"loss": mean_loss}
