@@ -154,6 +154,14 @@ class Loader:
             self._pool.terminate()
             self._pool = None
 
+    def __del__(self):
+        # stage rebuilds replace loaders; make sure worker pools die with
+        # them instead of accumulating across stages
+        try:
+            self.close()
+        except Exception:
+            pass
+
     # -- iteration ---------------------------------------------------------
 
     def _collate(self, samples) -> Dict[str, np.ndarray]:

@@ -45,6 +45,7 @@ class Mixup:
     label_smoothing: float = 0.1
     num_classes: int = 1000
     token_label: bool = False
+    mode: str = "batch"          # batch | elem (timm --mixup-mode)
     enabled: bool = True
 
     @property
@@ -59,6 +60,8 @@ class Mixup:
                 batch["soft_target"] = one_hot_np(
                     labels, self.num_classes, self.label_smoothing)
             return batch
+        if self.mode == "elem" and not self.token_label:
+            return self._elem(batch, rng)
 
         use_cutmix = self.cutmix_alpha > 0 and (
             self.mixup_alpha <= 0 or rng.random() < self.switch_prob)
@@ -96,4 +99,30 @@ class Mixup:
             batch["gt_soft"] = target
         else:
             batch["soft_target"] = target
+        return batch
+
+    def _elem(self, batch: Dict[str, np.ndarray],
+              rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        """Per-sample lambdas / cut boxes (timm mixup_mode='elem')."""
+        x = batch["image"]
+        orig = x.copy()  # partners mix with the un-mixed originals
+        labels = batch["label"]
+        B, H, W = x.shape[:3]
+        lam = np.ones(B, np.float32)
+        for i in range(B):
+            use_cutmix = self.cutmix_alpha > 0 and (
+                self.mixup_alpha <= 0 or rng.random() < self.switch_prob)
+            alpha = self.cutmix_alpha if use_cutmix else self.mixup_alpha
+            li = float(rng.beta(alpha, alpha))
+            j = B - 1 - i
+            if use_cutmix:
+                y1, y2, x1, x2 = _cut_box(H, W, li, rng)
+                x[i, y1:y2, x1:x2] = orig[j, y1:y2, x1:x2]
+                lam[i] = 1.0 - (y2 - y1) * (x2 - x1) / (H * W)
+            else:
+                x[i] = orig[i] * li + orig[j] * (1 - li)
+                lam[i] = li
+        t = one_hot_np(labels, self.num_classes, self.label_smoothing)
+        batch["soft_target"] = (lam[:, None] * t
+                                + (1 - lam[:, None]) * t[::-1])
         return batch

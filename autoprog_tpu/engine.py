@@ -165,7 +165,7 @@ def make_train_loader(ctx: TrainContext, *, aa: str, re_prob: float,
     mixup = Mixup(mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,
                   prob=args.mixup_prob, switch_prob=args.mixup_switch_prob,
                   label_smoothing=args.smoothing,
-                  num_classes=args.num_classes,
+                  num_classes=args.num_classes, mode=args.mixup_mode,
                   token_label=bool(args.token_label_data)) \
         if mixup_active else None
     per_host = (batch_size or args.batch_size) // jax.process_count()

@@ -195,3 +195,19 @@ def test_jsd_loss_properties():
          jnp.asarray(rs.normal(size=(B, C)), jnp.float32)], 0)
     l_diff = float(jsd_cross_entropy(diff, labels, num_splits=3))
     assert l_diff > l_same
+
+
+def test_mixup_elem_mode_per_sample_lambdas():
+    mx = Mixup(mixup_alpha=0.8, cutmix_alpha=1.0, num_classes=10,
+               label_smoothing=0.0, mode="elem")
+    rs = np.random.default_rng(0)
+    batch = {"image": rs.normal(size=(6, 16, 16, 3)).astype(np.float32),
+             "label": np.arange(6, dtype=np.int64)}
+    orig = batch["image"].copy()
+    out = mx(batch, np.random.default_rng(1))
+    t = out["soft_target"]
+    np.testing.assert_allclose(t.sum(-1), 1.0, rtol=1e-5)
+    # per-sample lambdas differ (not one global coefficient)
+    lams = [t[i, i] for i in range(6)]
+    assert len(set(np.round(lams, 6))) > 1
+    assert not np.array_equal(out["image"], orig)
