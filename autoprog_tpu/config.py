@@ -157,6 +157,9 @@ def build_parser(prog: bool = False) -> argparse.ArgumentParser:
     g.add_argument("--native-amp", action="store_true", default=False, help="compat no-op")
     g.add_argument("--no-bf16", action="store_true", default=False,
                    help="compute in f32 instead of bf16")
+    g.add_argument("--uint8-pipe", action="store_true", default=False,
+                   help="send uint8 images to the device and normalize/"
+                        "random-erase on-chip (4x less host->device data)")
     g.add_argument("--remat", action="store_true", default=False,
                    help="rematerialize transformer blocks in the backward "
                         "pass (jax.checkpoint) to trade FLOPs for HBM")

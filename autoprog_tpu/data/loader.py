@@ -173,8 +173,10 @@ class Loader:
             image = np.concatenate(
                 [stacked[:, k] for k in range(self.aug_splits)], axis=0)
             return {"image": image, "label": np.asarray(labels, np.int32)}
+        stacked = np.stack(xs)
         batch: Dict[str, np.ndarray] = {
-            "image": np.stack(xs).astype(np.float32),
+            "image": stacked if stacked.dtype == np.uint8
+            else stacked.astype(np.float32),
             "label": np.asarray(labels, np.int32),
         }
         if maps[0] is not None:

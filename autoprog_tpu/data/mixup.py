@@ -83,9 +83,15 @@ class Mixup:
                     m = batch[k]
                     m[:, :, my1:my2, mx1:mx2] = m[::-1, :, my1:my2, mx1:mx2]
         else:
-            x_flip = x[::-1] * (1.0 - lam)
-            x *= lam
-            x += x_flip
+            if x.dtype == np.uint8:
+                # FastCollateMixup-style uint8 blend (round back)
+                blended = x.astype(np.float32) * lam + \
+                    x[::-1].astype(np.float32) * (1.0 - lam)
+                x[:] = np.clip(blended + 0.5, 0, 255).astype(np.uint8)
+            else:
+                x_flip = x[::-1] * (1.0 - lam)
+                x *= lam
+                x += x_flip
             # token-label maps cannot be alpha-blended in sparse form; the
             # shipped VOLO recipes use token_label without mixup, so plain
             # mixup on maps degrades to the dominant side

@@ -229,6 +229,9 @@ class TrainTransform:
     interpolation: str = "random"
     mean: Tuple[float, ...] = (0.485, 0.456, 0.406)
     std: Tuple[float, ...] = (0.229, 0.224, 0.225)
+    #: skip normalize/erase and return uint8 (the device normalizes;
+    #: 4x less host->device traffic — see ops/erase.py)
+    emit_uint8: bool = False
 
     def __call__(self, img, rng: np.random.Generator
                  ) -> Tuple[np.ndarray, CropParams]:
@@ -259,12 +262,14 @@ class TrainTransform:
                 img = enh(img).enhance(max(f, 0.0))
         if self.rand_augment is not None:
             img = self.rand_augment(img, rng)
+        params = CropParams(top, left, h, w, do_h, do_v, src_h, src_w)
+        if self.emit_uint8:
+            return np.asarray(img, np.uint8), params
         x = np.asarray(img, np.float32) / 255.0
         x = (x - np.asarray(self.mean, np.float32)) / np.asarray(
             self.std, np.float32)
         if self.re_prob > 0:
             x = RandomErasing(self.re_prob, self.re_mode, self.re_count)(x, rng)
-        params = CropParams(top, left, h, w, do_h, do_v, src_h, src_w)
         return x, params
 
     def _call_native(self, data: bytes, rng: np.random.Generator):
@@ -298,11 +303,15 @@ class TrainTransform:
             if self.rand_augment is not None:
                 img = self.rand_augment(img, rng)
             rgb = np.asarray(img)
+        params = CropParams(top, left, h, w, flipped, do_v, src_h, src_w)
+        if self.emit_uint8:
+            if flip_in_normalize:
+                rgb = rgb[:, ::-1]
+            return np.ascontiguousarray(rgb), params
         x = native.normalize(rgb, self.mean, self.std,
                              hflip=flip_in_normalize)
         if self.re_prob > 0:
             x = RandomErasing(self.re_prob, self.re_mode, self.re_count)(x, rng)
-        params = CropParams(top, left, h, w, flipped, do_v, src_h, src_w)
         return x, params
 
 
@@ -313,6 +322,7 @@ class EvalTransform:
     interpolation: str = "bicubic"
     mean: Tuple[float, ...] = (0.485, 0.456, 0.406)
     std: Tuple[float, ...] = (0.229, 0.224, 0.225)
+    emit_uint8: bool = False
 
     def __call__(self, img) -> np.ndarray:
         from autoprog_tpu.data.raw import RawJpeg
@@ -334,6 +344,8 @@ class EvalTransform:
         left = (nw - self.size) // 2
         top = (nh - self.size) // 2
         img = img.crop((left, top, left + self.size, top + self.size))
+        if self.emit_uint8:
+            return np.asarray(img, np.uint8)
         x = np.asarray(img, np.float32) / 255.0
         return (x - np.asarray(self.mean, np.float32)) / np.asarray(
             self.std, np.float32)

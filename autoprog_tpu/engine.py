@@ -117,7 +117,9 @@ def init_model_state(ctx: TrainContext, model_name: str, dp: float,
         ema_decays=ctx.ema_decays if args.model_ema else (),
         num_classes=args.num_classes or 1000, smoothing=args.smoothing,
         token_label=args.token_label,
-        has_token_label_data=bool(args.token_label_data))
+        has_token_label_data=bool(args.token_label_data),
+        norm_mean=ctx.data_config["mean"], norm_std=ctx.data_config["std"],
+        re_count=getattr(args, "recount", 1))
     ctx.mdef, ctx.model, ctx.sb, ctx.state, ctx.tx = mdef, model, sb, state, tx
     if ctx.is_primary:
         n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
@@ -180,6 +182,10 @@ def make_train_loader(ctx: TrainContext, *, aa: str, re_prob: float,
         num_workers=args.workers, mixup=mixup, seed=args.seed,
         no_aug=args.no_aug, process_index=jax.process_index(),
         process_count=jax.process_count())
+    if getattr(args, "uint8_pipe", False):
+        # uint8 to the device; normalize + random-erase happen in-step
+        loader.transform.emit_uint8 = True
+        loader.transform.re_prob = 0.0
     if getattr(args, "aug_splits", 0) > 1:
         from autoprog_tpu.data.transforms import TrainTransform
         loader.aug_splits = args.aug_splits
@@ -197,7 +203,7 @@ def make_eval_loader(ctx: TrainContext) -> Loader:
                         is_training=False, num_classes=args.num_classes,
                         fake_size=max(args.fake_data_size // 4, 64),
                         image_size=ctx.data_config["input_size"][-1])
-    return create_loader(
+    loader = create_loader(
         ds, input_size=ctx.data_config["input_size"][-1],
         batch_size=(args.validation_batch_size_multiplier * args.batch_size)
         // jax.process_count(),
@@ -206,6 +212,9 @@ def make_eval_loader(ctx: TrainContext) -> Loader:
         mean=ctx.data_config["mean"], std=ctx.data_config["std"],
         num_workers=args.workers, process_index=jax.process_index(),
         process_count=jax.process_count())
+    if getattr(args, "uint8_pipe", False):
+        loader.transform.emit_uint8 = True
+    return loader
 
 
 def make_search_loader(ctx: TrainContext) -> Loader:
@@ -239,10 +248,12 @@ def make_search_loader(ctx: TrainContext) -> Loader:
 def train_one_epoch(ctx: TrainContext, epoch: int, loader: Loader, *,
                     r: int, keep=None, splits: int = 1,
                     epoch_time_m: Optional[AverageMeter] = None,
-                    log_suffix: str = "") -> Dict[str, float]:
+                    log_suffix: str = "", re_prob: float = 0.0) -> Dict[str, float]:
     """One epoch of the hot loop (`train_one_epoch`, `main_prog.py:933`)."""
     args = ctx.args
-    step = ctx.sb.train_step(r=r, keep=keep, splits=splits)
+    device_re = re_prob if getattr(args, "uint8_pipe", False) else 0.0
+    step = ctx.sb.train_step(r=r, keep=keep, splits=splits,
+                             re_prob=device_re)
     lr = ctx.schedule.fn(epoch)
     loader.set_epoch(epoch)
     if args.mixup_off_epoch and epoch >= args.mixup_off_epoch and \

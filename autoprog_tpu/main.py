@@ -79,7 +79,8 @@ def main(argv=None):
         for epoch in range(start_epoch, num_epochs):
             train_metrics = engine.train_one_epoch(
                 ctx, epoch, loader_train, r=img_size,
-                splits=args.batch_splits, epoch_time_m=epoch_time_m)
+                splits=args.batch_splits, epoch_time_m=epoch_time_m,
+                re_prob=args.reprob)
             eval_metrics, names = engine.evaluate_all(ctx, loader_eval)
             if ctx.is_primary and output_dir:
                 update_summary(epoch, train_metrics, eval_metrics,

@@ -260,7 +260,7 @@ def main(argv=None):
 
             train_metrics = engine.train_one_epoch(
                 ctx, epoch, loader_train, r=cur["r"], splits=splits,
-                epoch_time_m=epoch_time_m)
+                epoch_time_m=epoch_time_m, re_prob=cur["re"])
             eval_metrics, names = engine.evaluate_all(ctx, loader_eval)
             if ctx.is_primary and output_dir:
                 update_summary(epoch, train_metrics, eval_metrics,

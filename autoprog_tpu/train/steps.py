@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from autoprog_tpu.ops.erase import normalize_uint8, random_erase
 from autoprog_tpu.ops.interpolate import resize_bilinear
 from autoprog_tpu.train.optim import apply_lr
 from autoprog_tpu.train.state import TrainState
@@ -47,7 +48,9 @@ class StepBuilder:
                  train_loss: Callable, ema_decays: Tuple[float, ...] = (),
                  num_classes: int = 1000, smoothing: float = 0.1,
                  token_label: bool = False, has_token_label_data: bool = False,
-                 mesh=None, donate: bool = True):
+                 mesh=None, donate: bool = True,
+                 norm_mean=(0.485, 0.456, 0.406),
+                 norm_std=(0.229, 0.224, 0.225), re_count: int = 1):
         self.model = model
         self.tx = tx
         self.train_loss = train_loss
@@ -58,6 +61,9 @@ class StepBuilder:
         self.has_token_label_data = has_token_label_data
         self.mesh = mesh
         self.donate = donate
+        self.norm_mean = tuple(norm_mean)
+        self.norm_std = tuple(norm_std)
+        self.re_count = re_count
         self._train_cache: Dict = {}
         self._eval_cache: Dict = {}
         self._probe_cache: Dict = {}
@@ -78,6 +84,17 @@ class StepBuilder:
                 label_size=r // 16, gt_soft=batch.get("gt_soft"))
         return smooth_one_hot(batch["label"], self.num_classes, self.smoothing)
 
+    def _prep_images(self, images, rng=None, re_prob: float = 0.0):
+        """uint8 batches normalize (+ random-erase when training) on
+        device — the uint8 pipeline moves 4x less data to the chip."""
+        if images.dtype == jnp.uint8:
+            images = normalize_uint8(images, self.norm_mean, self.norm_std,
+                                     jnp.float32)
+            if rng is not None and re_prob > 0:
+                images = random_erase(images, jax.random.fold_in(rng, 3),
+                                      prob=re_prob, count=self.re_count)
+        return images
+
     def _apply_train(self, params, batch_stats, images, rng, keep):
         rngs = {"dropout": jax.random.fold_in(rng, 1),
                 "mixtoken": jax.random.fold_in(rng, 2)}
@@ -95,14 +112,18 @@ class StepBuilder:
 
     # ---------------- train ---------------------------------------------
 
-    def train_step(self, *, r: int, keep=None, splits: int = 1):
-        key = (r, keep, splits)
+    def train_step(self, *, r: int, keep=None, splits: int = 1,
+                   re_prob: float = 0.0):
+        key = (r, keep, splits, re_prob)
         if key not in self._train_cache:
-            self._train_cache[key] = self._make_train_step(r, keep, splits)
+            self._train_cache[key] = self._make_train_step(r, keep, splits,
+                                                           re_prob)
         return self._train_cache[key]
 
-    def _make_train_step(self, r: int, keep, splits: int):
+    def _make_train_step(self, r: int, keep, splits: int,
+                         re_prob: float = 0.0):
         def micro_loss(params, batch_stats, images, target, rng):
+            images = self._prep_images(images, rng, re_prob)
             images = resize_bilinear(images, r)
             out, new_stats = self._apply_train(params, batch_stats, images, rng, keep)
             loss = self.train_loss(out, target)
@@ -163,7 +184,8 @@ class StepBuilder:
             variables = {"params": params}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
-            logits = self.model.apply(variables, batch["image"], train=False,
+            images = self._prep_images(batch["image"])
+            logits = self.model.apply(variables, images, train=False,
                                       keep=keep)
             if isinstance(logits, tuple):
                 logits = logits[0]
@@ -185,7 +207,8 @@ class StepBuilder:
         key = (r, keep)
         if key not in self._probe_cache:
             def step(params, batch_stats, batch, rng):
-                images = resize_bilinear(batch["image"], r)
+                images = self._prep_images(batch["image"])
+                images = resize_bilinear(images, r)
                 out, _ = self._apply_train(params, batch_stats, images, rng, keep)
                 logits = out[0] if isinstance(out, tuple) else out
                 loss = _ce_logits_int(logits, batch["label"])
@@ -202,6 +225,7 @@ class StepBuilder:
         key = (r, keep)
         if key not in self._tput_cache:
             def micro(params, batch_stats, images, target, rng):
+                images = self._prep_images(images)
                 images = resize_bilinear(images, r)
                 out, _ = self._apply_train(params, batch_stats, images, rng, keep)
                 return self.train_loss(out, target)
