@@ -65,7 +65,7 @@ def auto_grow(ctx, *, search_r, search_h, search_l, current_dp, current_aa,
                 r_list=list(search_r), l_list=list(search_l),
                 cfg_strs=cfg_strs, splits=splits,
                 eval_times=1 if search_epoch == epoch else 4,
-                epoch_time_m=epoch_time_m)
+                epoch_time_m=epoch_time_m, re_prob=current_re)
         # evaluate the smallest sub-config + EMAs (`main_prog.py:1639-1662`)
         from autoprog_tpu.prog.depth import elastic_keep_masks
         keep = elastic_keep_masks(l_min, l_min, l_max)

@@ -184,7 +184,8 @@ def train_one_epoch_super(ctx, epoch: int, loader, loader_search, *,
                           r_list: Sequence[int], l_list: Sequence[int],
                           cfg_strs: Sequence[str], splits: int,
                           eval_times: int,
-                          epoch_time_m: Optional[AverageMeter] = None):
+                          epoch_time_m: Optional[AverageMeter] = None,
+                          re_prob: float = 0.0):
     """One supernet epoch with random sub-network sampling
     (`train_one_epoch_super`, `main_prog.py:1839-2054`). Returns
     (train_metrics, search_metrics_rounds, loss_0, loss_last)."""
@@ -224,7 +225,9 @@ def train_one_epoch_super(ctx, epoch: int, loader, loader_search, *,
         l = int(sampler.choice(l_list))
         r = int(sampler.choice(r_list))
         l_idx, r_idx = l_list.index(l), r_list.index(r)
-        step = ctx.sb.train_step(r=r, keep=keep_of[l], splits=splits)
+        device_re = re_prob if getattr(ctx.args, "uint8_pipe", False) else 0.0
+        step = ctx.sb.train_step(r=r, keep=keep_of[l], splits=splits,
+                                 re_prob=device_re)
         batch = shard_batch(ctx.mesh, batch)
         state, metrics = step(state, batch, lr, ctx.rng)
         losses_m[r_idx][l_idx].update(float(metrics["loss"]))
