@@ -161,15 +161,16 @@ def probe_candidate(ctx, loader_search, *, r: int, keep, params, batch_stats,
                                       jax.random.fold_in(rng, i))),
                       batch["label"].shape[0])
         if tput_step is not None:
+            # sync via a device->host readback of the probe's scalar: the
+            # criterion consumes these times (`main_prog.py:1721`) and
+            # block_until_ready alone can return early on remote backends
             if not warmed:  # compile + warm outside the timed region
-                jax.block_until_ready(
-                    tput_step(params, batch_stats, batch,
-                              jax.random.fold_in(rng, 10_000 + i)))
+                float(tput_step(params, batch_stats, batch,
+                                jax.random.fold_in(rng, 10_000 + i)))
                 warmed = True
             t0 = time.perf_counter()
-            jax.block_until_ready(
-                tput_step(params, batch_stats, batch,
-                          jax.random.fold_in(rng, 20_000 + i)))
+            float(tput_step(params, batch_stats, batch,
+                            jax.random.fold_in(rng, 20_000 + i)))
             times.update(time.perf_counter() - t0)
     out = {"loss": losses.avg}
     if tput_step is not None:
