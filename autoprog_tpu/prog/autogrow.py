@@ -222,14 +222,29 @@ def train_one_epoch_super(ctx, epoch: int, loader, loader_search, *,
     loss_0, loss_last = {}, {}
     state = ctx.state
     end = time.time()
+    device_re = re_prob if getattr(ctx.args, "uint8_pipe", False) else 0.0
+    warmed_steps = False
     for batch_idx, batch in enumerate(loader):
         l = int(sampler.choice(l_list))
         r = int(sampler.choice(r_list))
         l_idx, r_idx = l_list.index(l), r_list.index(r)
-        device_re = re_prob if getattr(ctx.args, "uint8_pipe", False) else 0.0
         step = ctx.sb.train_step(r=r, keep=keep_of[l], splits=splits,
                                  re_prob=device_re)
         batch = shard_batch(ctx.mesh, batch)
+        if not warmed_steps:
+            # pre-compile every candidate program on a throwaway state copy
+            # so the random sampling loop never stalls on a mid-epoch
+            # compile (the AOT mitigation of SURVEY §7.3.1)
+            import jax.numpy as jnp
+            scratch = jax.tree.map(jnp.copy, state)
+            for r_c in r_list:
+                for l_c in l_list:
+                    s2 = jax.tree.map(jnp.copy, scratch)
+                    ctx.sb.train_step(r=r_c, keep=keep_of[l_c],
+                                      splits=splits, re_prob=device_re)(
+                        s2, batch, lr, ctx.rng)
+            del scratch, s2
+            warmed_steps = True
         state, metrics = step(state, batch, lr, ctx.rng)
         losses_m[r_idx][l_idx].update(float(metrics["loss"]))
         batch_time.update(time.time() - end)
