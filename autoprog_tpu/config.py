@@ -82,8 +82,13 @@ def build_parser(prog: bool = False) -> argparse.ArgumentParser:
 
     # LR schedule
     g = parser.add_argument_group("lr schedule")
-    g.add_argument("--sched", default="cosine", type=str)
+    g.add_argument("--sched", default="cosine", type=str,
+                   help="cosine | tanh | step | constant")
     g.add_argument("--lr", type=float, default=1.6e-3)
+    g.add_argument("--lr-noise", type=float, nargs="+", default=None,
+                   help="compat no-op (schedule noise)")
+    g.add_argument("--lr-noise-pct", type=float, default=0.67, help="compat no-op")
+    g.add_argument("--lr-noise-std", type=float, default=1.0, help="compat no-op")
     g.add_argument("--lr-cycle-mul", type=float, default=1.0)
     g.add_argument("--lr-cycle-limit", type=int, default=1)
     g.add_argument("--warmup-lr", type=float, default=1e-6)
@@ -124,9 +129,15 @@ def build_parser(prog: bool = False) -> argparse.ArgumentParser:
     g.add_argument("--train-interpolation", type=str, default="random")
     g.add_argument("--drop", type=float, default=0.0)
     g.add_argument("--drop-path", type=float, default=None)
+    g.add_argument("--drop-connect", type=float, default=None,
+                   help="compat alias (deprecated upstream; use --drop-path)")
+    g.add_argument("--drop-block", type=float, default=None, help="compat no-op")
+    g.add_argument("--resplit", action="store_true", default=False, help="compat no-op")
 
     # BatchNorm (VOLO conv stem only)
     g = parser.add_argument_group("bn")
+    g.add_argument("--bn-tf", action="store_true", default=False, help="compat no-op")
+    g.add_argument("--split-bn", action="store_true", default=False, help="compat no-op")
     g.add_argument("--bn-momentum", type=float, default=None)
     g.add_argument("--bn-eps", type=float, default=None)
     g.add_argument("--sync-bn", action="store_true",
@@ -170,6 +181,11 @@ def build_parser(prog: bool = False) -> argparse.ArgumentParser:
     g.add_argument("--eval-metric", default="top1", type=str)
     g.add_argument("--tta", type=int, default=0)
     g.add_argument("--local_rank", default=0, type=int, help="compat no-op (JAX is SPMD)")
+    g.add_argument("--torchscript", action="store_true", default=False, help="compat no-op")
+    g.add_argument("--use-multi-epochs-loader", action="store_true",
+                   default=False, help="compat no-op (workers persist anyway)")
+    g.add_argument("--model-ema-force-cpu", action="store_true",
+                   default=False, help="compat no-op (EMA lives on device)")
     g.add_argument("--save-images", action="store_true", default=False)
     g.add_argument("--fake-data-size", type=int, default=1024,
                    help="samples per epoch for synthetic:// data")

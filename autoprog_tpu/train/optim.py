@@ -104,6 +104,19 @@ def create_scheduler(args) -> Schedule:
             return base_lr * (args.decay_rate ** (int(epoch) // int(args.decay_epochs)))
         return Schedule(fn, t_initial + args.cooldown_epochs)
 
+    if sched == "tanh":
+        def fn(epoch: float) -> float:
+            if epoch < warmup_t:
+                return warmup_lr + (base_lr - warmup_lr) * epoch / max(warmup_t, 1)
+            if epoch >= t_initial:
+                return min_lr
+            t = (epoch - warmup_t) / max(t_initial - warmup_t, 1)
+            # timm TanhLRScheduler with lb=-7, ub=3 (upper half of tanh)
+            lb, ub = -7.0, 3.0
+            return min_lr + 0.5 * (base_lr - min_lr) * (
+                1 - math.tanh(lb + t * (ub - lb)))
+        return Schedule(fn, t_initial + args.cooldown_epochs)
+
     if sched in ("none", "constant"):
         return Schedule(lambda e: base_lr, t_initial)
 
