@@ -108,9 +108,9 @@ def init_model_state(ctx: TrainContext, model_name: str, dp: float,
     state = replicate(ctx.mesh, state)
     if getattr(args, "model_parallel", 1) > 1:
         from autoprog_tpu.parallel.tp import shard_state_tp, validate_tp
-        validate_tp(ctx.mesh, tuple(mdef.arch.num_heads)
-                    if hasattr(mdef.arch, "num_heads")
-                    else (mdef.arch.num_heads,))
+        heads = mdef.arch.num_heads
+        validate_tp(ctx.mesh, tuple(heads) if isinstance(heads, (tuple, list))
+                    else (heads,))
         state = shard_state_tp(ctx.mesh, state)
     sb = StepBuilder(
         model=model, tx=tx, train_loss=ctx.train_loss,

@@ -94,3 +94,28 @@ def test_tp_train_step_matches_dp():
     assert results["dp"][0] == pytest.approx(results["tp"][0], rel=1e-5)
     np.testing.assert_allclose(results["dp"][1], results["tp"][1],
                                rtol=1e-4, atol=1e-6)
+
+
+def test_tp_with_progressive_growth():
+    """Stage growth re-applies TP shardings to the grown state; the grown
+    model trains on the dp x tp mesh."""
+    from autoprog_tpu import engine
+    from autoprog_tpu.config import parse_args
+    from autoprog_tpu.parallel.mesh import MODEL_AXIS, shard_batch
+
+    args, text = parse_args(
+        ["synthetic://", "--model", "deit_h4_l2", "--num-classes", "8",
+         "--img-size", "32", "-b", "16", "--workers", "0", "--no-bf16",
+         "--drop-path", "0.0", "--model-parallel", "2"], prog=True)
+    ctx = engine.setup(args, text, prog=True, initial_model="deit_h4_l2")
+    engine.create_stage_model_and_state(ctx, "deit_h4_l4", dp=0.0,
+                                        load="slice")
+    qkv = ctx.state.params["s0b3"]["attn"]["qkv"]["kernel"]
+    assert qkv.sharding.spec == P(None, MODEL_AXIS)
+    rs = np.random.RandomState(0)
+    batch = shard_batch(ctx.mesh, {
+        "image": jnp.asarray(rs.randn(16, 32, 32, 3), jnp.float32),
+        "label": jnp.asarray(rs.randint(0, 8, 16), jnp.int32)})
+    step = ctx.sb.train_step(r=32, splits=1)
+    ctx.state, m = step(ctx.state, batch, 1e-3, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
