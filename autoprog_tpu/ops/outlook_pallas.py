@@ -226,3 +226,78 @@ def _bwd(num_heads, scale, interpret, residuals, g):
 
 
 outlook_attention_fused.defvjp(_fwd, _bwd)
+
+
+# --------------------------------------------------------------------------
+# Hybrid variant: XLA unfold/fold (already near their bandwidth floor, see
+# PERF.md) + a minimal Pallas kernel for ONLY the softmax+attend — no
+# pads/slabs/interleaves for Mosaic to relayout.
+
+
+def _attend_kernel(p_ref, a_ref, o_ref, *, scale: float, num_heads: int):
+    """p_ref [1, n, 9, C] (head-minor channels), a_ref [1, n, 9, 9, heads],
+    o_ref [1, 9, n, C] (p-major so each write is a plain leading-index
+    store — a [n,C]-into-[1,n,1,C] slice write would need an insert-dim
+    reshape Mosaic rejects)."""
+    C = p_ref.shape[3]
+    d = C // num_heads
+    att = jax.nn.softmax(a_ref[0].astype(jnp.float32) * scale, axis=2)
+    pf = p_ref[0].astype(jnp.float32)
+    for pp in range(9):
+        acc = pltpu.repeat(att[:, pp, 0], d, 1) * pf[:, 0]
+        for q in range(1, 9):
+            acc = acc + pltpu.repeat(att[:, pp, q], d, 1) * pf[:, q]
+        o_ref[0, pp] = acc.astype(o_ref.dtype)
+
+
+def _forward_hybrid(v, attn_logits, *, num_heads: int, scale: float,
+                    interpret: bool = False):
+    B, H, W, C = v.shape
+    h, w = attn_logits.shape[1], attn_logits.shape[2]
+    n = h * w
+    d = C // num_heads
+    patches = unfold_nhwc(v, 3, 2, 1).reshape(B, n, 9, C)
+    # head-minor channel order so the per-head attention scalar broadcasts
+    # across lanes via tile-semantics repeat
+    pm = patches.reshape(B, n, 9, num_heads, d).transpose(0, 1, 2, 4, 3)
+    pm = pm.reshape(B, n, 9, C)
+    att = attn_logits.reshape(B, n, num_heads, 9, 9).transpose(0, 1, 3, 4, 2)
+    kern = functools.partial(_attend_kernel, scale=scale,
+                             num_heads=num_heads)
+    av = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, n, 9, C), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 9, 9, num_heads), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 9, n, C), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 9, n, C), v.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(pm, att)
+    av = av.transpose(0, 2, 1, 3)                      # [B, n, 9, C]
+    av = av.reshape(B, n, 9, d, num_heads).transpose(0, 1, 2, 4, 3)
+    av = av.reshape(B, h, w, 3, 3, C)
+    return fold_nhwc(av, (H, W), 3, 2, 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def outlook_attention_hybrid(v, attn_logits, num_heads: int, scale: float,
+                             interpret: bool = False):
+    """XLA unfold/fold + Pallas attend (see module tail comment)."""
+    return _forward_hybrid(v, attn_logits, num_heads=num_heads, scale=scale,
+                           interpret=interpret)
+
+
+def _fwd_h(v, attn_logits, num_heads, scale, interpret):
+    out = _forward_hybrid(v, attn_logits, num_heads=num_heads, scale=scale,
+                          interpret=interpret)
+    return out, (v, attn_logits)
+
+
+outlook_attention_hybrid.defvjp(_fwd_h, _bwd)
