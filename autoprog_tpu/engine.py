@@ -453,9 +453,12 @@ def create_stage_model_and_state(ctx: TrainContext, new_model_name: str, *,
 
 
 def ckpt_payload(ctx: TrainContext, stage_info: Dict[str, Any]):
-    return build_payload(state=ctx.state, args_text=ctx.args_text,
-                         arch_name=ctx.mdef.name, stage_info=stage_info,
-                         ema_decays=ctx.ema_decays)
+    payload = build_payload(state=ctx.state, args_text=ctx.args_text,
+                            arch_name=ctx.mdef.name, stage_info=stage_info,
+                            ema_decays=ctx.ema_decays)
+    if hasattr(ctx.schedule, "state_dict"):  # plateau schedule state
+        payload["lr_schedule"] = ctx.schedule.state_dict()
+    return payload
 
 
 def save_ckpt_recovery(ctx: TrainContext, epoch: int, batch_idx: int):
@@ -475,4 +478,6 @@ def resume_from(ctx: TrainContext, path: str) -> int:
     ctx.state = restore_state(ckpt, ctx.state,
                               restore_opt=not ctx.args.no_resume_opt)
     ctx.state = replicate(ctx.mesh, ctx.state)
+    if hasattr(ctx.schedule, "load_state_dict") and "lr_schedule" in ckpt:
+        ctx.schedule.load_state_dict(ckpt["lr_schedule"])
     return int(ckpt.get("epoch", -1)) + 1

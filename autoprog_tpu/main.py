@@ -82,6 +82,8 @@ def main(argv=None):
                 splits=args.batch_splits, epoch_time_m=epoch_time_m,
                 re_prob=args.reprob)
             eval_metrics, names = engine.evaluate_all(ctx, loader_eval)
+            if hasattr(ctx.schedule, "observe"):  # plateau schedule
+                ctx.schedule.observe(max(eval_metrics[n] for n in names))
             if ctx.is_primary and output_dir:
                 update_summary(epoch, train_metrics, eval_metrics,
                                os.path.join(output_dir, "summary.csv"),

@@ -117,10 +117,79 @@ def create_scheduler(args) -> Schedule:
                 1 - math.tanh(lb + t * (ub - lb)))
         return Schedule(fn, t_initial + args.cooldown_epochs)
 
+    if sched == "plateau":
+        return PlateauSchedule(
+            base_lr=base_lr, min_lr=min_lr, warmup_lr=warmup_lr,
+            warmup_t=warmup_t, num_epochs=t_initial + args.cooldown_epochs,
+            decay_rate=args.decay_rate, patience=args.patience_epochs,
+            mode="min" if args.eval_metric == "loss" else "max")
+
     if sched in ("none", "constant"):
         return Schedule(lambda e: base_lr, t_initial)
 
     raise ValueError(f"unsupported scheduler {sched!r}")
+
+
+class PlateauSchedule:
+    """Metric-driven LR decay (timm 0.4.5 `--sched plateau`,
+    PlateauLRScheduler wrapping ReduceLROnPlateau; selected at
+    `main_prog.py:135` via the `--sched` flag).
+
+    Stateful by necessity — the LR depends on the eval-metric history, not
+    just the epoch. Exposes the same `fn(epoch)`/`num_epochs` surface as
+    `Schedule`, plus `observe(metric)` which the trainers call once per
+    epoch after validation. The object lives in the engine context and
+    survives stage rebuilds, so progressive growth keeps the global decay
+    state (mirroring the reference's scheduler fast-forward semantics at
+    `main_prog.py:1429-1430`).
+    """
+
+    def __init__(self, base_lr, min_lr, warmup_lr, warmup_t, num_epochs,
+                 decay_rate=0.1, patience=10, mode="max"):
+        self.base_lr = base_lr
+        self.min_lr = min_lr
+        self.warmup_lr = warmup_lr
+        self.warmup_t = warmup_t
+        self.num_epochs = num_epochs
+        self.decay_rate = decay_rate
+        self.patience = patience
+        self.mode = mode
+        self._lr = base_lr
+        self._best = None
+        self._bad_epochs = 0
+
+    def fn(self, epoch: float) -> float:
+        if epoch < self.warmup_t:
+            return self.warmup_lr + (self.base_lr - self.warmup_lr) * (
+                epoch / max(self.warmup_t, 1))
+        return self._lr
+
+    def observe(self, metric: float) -> None:
+        """Record one epoch's eval metric; decay LR after `patience`
+        consecutive non-improving epochs (torch ReduceLROnPlateau
+        semantics: strict improvement resets the counter)."""
+        better = (self._best is None
+                  or (self.mode == "max" and metric > self._best)
+                  or (self.mode == "min" and metric < self._best))
+        if better:
+            self._best = metric
+            self._bad_epochs = 0
+        else:
+            self._bad_epochs += 1
+            if self._bad_epochs > self.patience:
+                self._lr = max(self._lr * self.decay_rate, self.min_lr)
+                self._bad_epochs = 0
+
+    # checkpoint round-trip (payload mirrors the reference saving the
+    # scheduler state inside the checkpoint, prog/checkpoint_saver.py:110)
+    def state_dict(self) -> dict:
+        return {"lr": self._lr, "best": self._best,
+                "bad_epochs": self._bad_epochs}
+
+    def load_state_dict(self, d: dict) -> None:
+        self._lr = d["lr"]
+        self._best = d["best"]
+        self._bad_epochs = d["bad_epochs"]
 
 
 def apply_lr(updates, lr) -> dict:

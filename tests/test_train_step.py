@@ -130,6 +130,32 @@ def test_scheduler_shapes():
     assert sched.fn(105) == pytest.approx(1e-5)  # cooldown tail
 
 
+def test_plateau_schedule():
+    args = make_args(sched="plateau", epochs=100, warmup_epochs=2,
+                     cooldown_epochs=0, lr=1e-3, patience_epochs=2,
+                     eval_metric="top1")
+    sched = create_scheduler(args)
+    assert sched.fn(0) == pytest.approx(1e-6)          # warmup start
+    assert sched.fn(5) == pytest.approx(1e-3)          # base after warmup
+    sched.observe(10.0)                                 # best
+    for m in (9.0, 9.5, 9.9):                           # 3 bad > patience 2
+        sched.observe(m)
+    assert sched.fn(5) == pytest.approx(1e-4)          # decayed once
+    sched.observe(11.0)                                 # new best resets
+    sched.observe(10.0)
+    sched.observe(10.5)
+    assert sched.fn(5) == pytest.approx(1e-4)          # within patience
+    # state round-trips through a checkpoint
+    d = sched.state_dict()
+    sched2 = create_scheduler(args)
+    sched2.load_state_dict(d)
+    assert sched2.fn(5) == pytest.approx(sched.fn(5))
+    # LR floors at min_lr
+    for _ in range(40):
+        sched.observe(0.0)
+    assert sched.fn(5) == pytest.approx(args.min_lr)
+
+
 def test_volo_train_step_with_token_labels():
     args = make_args(token_label=True, token_label_data="x",
                      token_label_size=4)
