@@ -94,6 +94,7 @@ class ModelDef:
              return_dense: Optional[bool] = None,
              sync_bn_axis: Optional[str] = None,
              remat: bool = False,
+             aux_fusion: str = "max",
              **unused):
         a = self.arch
         if isinstance(a, VoloArch):
@@ -109,7 +110,8 @@ class ModelDef:
                 drop_path_rate=drop_path_rate,
                 mix_token=True if mix_token is None else mix_token,
                 return_dense=True if return_dense is None else return_dense,
-                dtype=dtype, sync_bn_axis=sync_bn_axis, remat=remat)
+                dtype=dtype, sync_bn_axis=sync_bn_axis, remat=remat,
+                aux_fusion=aux_fusion)
         if isinstance(a, DeitArch):
             return VisionTransformer(
                 embed_dim=a.embed_dim, depth=a.depth, num_heads=a.num_heads,

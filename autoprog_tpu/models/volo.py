@@ -63,6 +63,7 @@ class VOLO(nn.Module):
     out_kernel: int = 3
     out_stride: int = 2
     out_padding: int = 1
+    aux_fusion: str = "max"  # eval fusion over aux tokens: "max" | "mean"
     dtype: jnp.dtype = jnp.bfloat16
     sync_bn_axis: Optional[str] = None
     remat: bool = False
@@ -184,7 +185,12 @@ class VOLO(nn.Module):
                       name="aux_head")(x[:, 1:])  # [B, N, classes]
 
         if not train:
-            return x_cls + 0.5 * x_aux.max(axis=1)
+            # "mean" = test-time pooling over the dense class logits
+            # (the ViT analogue of timm's TestTimePoolHead used by
+            # reference `validate.py` --test-pool)
+            pooled = (x_aux.max(axis=1) if self.aux_fusion == "max"
+                      else x_aux.mean(axis=1))
+            return x_cls + 0.5 * pooled
 
         if use_mix:
             x_aux = x_aux.reshape(B, H, W, self.num_classes)

@@ -53,6 +53,11 @@ def build_parser():
     p.add_argument("--log-interval", type=int, default=50)
     p.add_argument("--results-file", default="")
     p.add_argument("--no-bf16", action="store_true", default=False)
+    p.add_argument("--test-pool", action="store_true", default=False,
+                   help="test-time pooling: fuse mean-pooled dense class "
+                        "logits instead of max (reference validate.py "
+                        "--test-pool via timm TestTimePoolHead; no-op for "
+                        "models without a dense aux head)")
     p.add_argument("--tta", type=int, default=0,
                    help="average logits over groups of N consecutive "
                         "samples (augmentation reduction, validate.py:228)")
@@ -87,8 +92,17 @@ def validate(args) -> dict:
     data_config = resolve_data_config(args, mdef.default_cfg)
     img = args.img_size or data_config["input_size"][-1]
     dtype = jnp.float32 if args.no_bf16 else jnp.bfloat16
+    # a VOLO trained without token labels has no aux head (the trainer
+    # builds return_dense=args.token_label, engine.py:85) — adapt the eval
+    # model to what the checkpoint actually contains
+    return_dense = None
+    if ckpt is not None and "state_dict" in ckpt:
+        return_dense = "aux_head" in ckpt["state_dict"]
     model = mdef.make(num_classes=args.num_classes, img_size=img,
-                      dtype=dtype)
+                      dtype=dtype, return_dense=return_dense,
+                      aux_fusion="mean" if args.test_pool else "max")
+    if args.test_pool and not getattr(model, "return_dense", False):
+        _logger.info("--test-pool: model has no dense aux head; ignored")
     variables = jax.jit(lambda: model.init(
         {"params": jax.random.PRNGKey(0)},
         jnp.zeros((1, img, img, 3)), train=False))()

@@ -39,6 +39,22 @@ def test_volo_variant_forward_shapes():
     assert out.shape == (2, 10)
 
 
+def test_volo_test_pool_fusion():
+    """--test-pool swaps the eval fusion from max(aux) to mean(aux):
+    same shape, different function, identical cls head."""
+    mdef = create_model("volo_h4_l4")
+    model, variables = init_model(mdef, img_size=64)
+    model_tp = mdef.make(num_classes=10, img_size=64, dtype=jnp.float32,
+                         aux_fusion="mean")
+    x = jnp.linspace(0, 1, 2 * 64 * 64 * 3).reshape(2, 64, 64, 3)
+    out_max = model.apply(variables, x, train=False)
+    out_mean = model_tp.apply(variables, x, train=False)
+    assert out_mean.shape == out_max.shape
+    assert not np.allclose(np.asarray(out_mean), np.asarray(out_max))
+    # max-fusion >= mean-fusion elementwise given the same aux logits
+    assert np.all(np.asarray(out_max) >= np.asarray(out_mean) - 1e-5)
+
+
 def test_volo_resolution_elasticity():
     mdef = create_model("volo_h4_l4")
     model, variables = init_model(mdef, img_size=64)
