@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import time
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -129,6 +130,10 @@ def init_model_state(ctx: TrainContext, model_name: str, dp: float,
 def setup(args, args_text: str, *, prog: bool, output_dir: str = "",
           initial_model: Optional[str] = None) -> TrainContext:
     """Common setup mirroring `main()` (`main_prog.py:334-751`)."""
+    if getattr(args, "model_parallel", 1) > 1:
+        # pallas_call is opaque to the SPMD partitioner — the fused MHSA
+        # kernel would force gathers of head-sharded activations under TP
+        os.environ.setdefault("AUTOPROG_FUSED_ATTN", "0")
     mesh = make_mesh(model_parallel=getattr(args, "model_parallel", 1))
     if args.num_classes is None:
         args.num_classes = 1000 if not args.data_dir.startswith("synthetic") \

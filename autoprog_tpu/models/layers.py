@@ -36,6 +36,32 @@ Dtype = jnp.dtype
 trunc_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
 
 
+def _use_fused_attn(n_lead: int, attn_drop: float, deterministic: bool,
+                    n_tokens: int, head_dim: int) -> bool:
+    """Route MHSA through the fused Pallas kernel (ops/attention_pallas.py).
+
+    AUTOPROG_FUSED_ATTN = 1 | 0 (default 0). In isolation the kernel wins
+    fwd+bwd at the volo_d1 transformer shape (3.35 vs 4.38 ms/layer) but
+    in the full train step it loses (~+0.6 ms/layer): pallas_call is a
+    fusion barrier, so the qkv reshape/transpose that XLA folds into the
+    einsum for free becomes explicit relayouts (PERF.md). Opt-in until
+    the boundary relayouts are solved. Never used under tensor
+    parallelism (pallas_call is opaque to the SPMD partitioner; the
+    engine clears the flag)."""
+    import os
+
+    import jax
+
+    if os.environ.get("AUTOPROG_FUSED_ATTN", "0") != "1":
+        return False
+    if deterministic or attn_drop or n_lead != 1:
+        return False
+    # VMEM budget: the [n, n] f32 score matrix must fit comfortably
+    if n_tokens > 1024 or head_dim > 128:
+        return False
+    return jax.devices()[0].platform != "cpu"
+
+
 def _use_fused_outlook(kernel_size: int, stride: int, padding: int,
                        H: int, W: int) -> bool:
     """Route outlook attention through the fused Pallas kernel.
@@ -112,9 +138,23 @@ class Attention(nn.Module):
                     name="qkv")(x)
         qkv = qkv.reshape(*lead, N, 3, self.num_heads, head_dim)
         q, k, v = (jnp.moveaxis(qkv, -3, 0)[i] for i in range(3))
+        if _use_fused_attn(len(lead), self.attn_drop, deterministic, N,
+                           head_dim):
+            from autoprog_tpu.ops.attention_pallas import mhsa_fused
+            out = mhsa_fused(q, k, v, scale)
+            out = out.reshape(*lead, N, C)
+            out = dense(C, dtype=self.dtype, name="proj")(out)
+            return nn.Dropout(self.proj_drop)(out,
+                                              deterministic=deterministic)
         attn = jnp.einsum("...nhd,...mhd->...hnm", q, k,
                           preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn * scale, axis=-1).astype(self.dtype)
+        # materialize the [.., h, n, n] logits in compute dtype (half the
+        # HBM traffic of f32; the reference under apex AMP materializes
+        # fp16 logits the same way); exp/sum still accumulate in f32
+        attn = (attn * scale).astype(self.dtype)
+        attn = attn - attn.max(axis=-1, keepdims=True)
+        e = jnp.exp(attn.astype(jnp.float32))
+        attn = (e / e.sum(axis=-1, keepdims=True)).astype(self.dtype)
         attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
         out = jnp.einsum("...hnm,...mhd->...nhd", attn, v,
                          preferred_element_type=jnp.float32).astype(self.dtype)

@@ -1,0 +1,147 @@
+"""Fused short-sequence MHSA Pallas kernel.
+
+The VOLO transformer stack runs 14 layers of MHSA at n=196 tokens with
+head_dim 32 (reference `models/volo.py:170-201`). At this size the XLA
+lowering materializes the [B, heads, n, n] logits in HBM (59M elements at
+b=128 — measured ~4.5 ms/layer fwd+bwd of mostly softmax/HBM traffic,
+`scripts/bench_attn.py`); the stock flash-attention kernel is worse still
+(its blocking targets long sequences). This kernel keeps one
+(image, head) slice entirely in VMEM: q/k/v stream in, the [n, n] score
+matrix lives and dies on-chip, only the [n, d] output returns to HBM.
+
+Layout: the kernel operates on [B, heads, n, d] (grid over (B, heads),
+block = one head slice with the last two block dims equal to the array
+dims — a Mosaic requirement). The public wrapper accepts the natural
+[B, n, heads, d] coming out of the fused qkv projection and transposes at
+the boundary (XLA fuses these with the surrounding reshapes; measured in
+the kernel's favor).
+
+Backward is a second kernel that recomputes the probabilities
+(flash-style) and emits dq/dk/dv in one pass.
+
+Numerics: scores f32 (MXU preferred_element_type), softmax subtract-max
+and normalization in f32, probabilities cast to compute dtype for the AV
+matmul — the same discipline as the XLA path in models/layers.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _softmax_rows(s):
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _fwd_kernel(scale, num_heads, q_ref, k_ref, v_ref, o_ref):
+    # one image per program, static loop over heads: blocks are big
+    # enough (heads*n*d) to keep the DMA pipeline busy, and every [n, n]
+    # score matrix lives only in VMEM/registers
+    for hi in range(num_heads):
+        q = q_ref[0, hi]                              # [n, d]
+        k = k_ref[0, hi]
+        v = v_ref[0, hi]
+        # scale folded into q ([n,d]) and the normalizer into the output
+        # ([n,d]): the only full [n,n] passes are the matmul, max, exp
+        qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+        s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+        z = jnp.sum(e, axis=-1, keepdims=True)        # [n, 1] f32
+        o = jnp.dot(e.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32)
+        o_ref[0, hi] = (o / z).astype(v.dtype)
+
+
+def _bwd_kernel(scale, num_heads, q_ref, k_ref, v_ref, do_ref,
+                dq_ref, dk_ref, dv_ref):
+    for hi in range(num_heads):
+        q = q_ref[0, hi]
+        k = k_ref[0, hi]
+        v = v_ref[0, hi]
+        do = do_ref[0, hi]                            # [n, d]
+        qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+        s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        p = _softmax_rows(s)                          # f32 [n, n]
+        pc = p.astype(v.dtype)
+        # dv[m, f] = sum_n p[n, m] * do[n, f]
+        dv = jax.lax.dot_general(pc, do, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        # dp[n, m] = sum_f do[n, f] * v[m, f]
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = ds.astype(q.dtype)
+        # dq = scale * (ds @ k); dk = ds^T @ (scale * q) — scale rides the
+        # [n, d] operands, not the [n, n] matrix
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds, qs, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dq_ref[0, hi] = dq.astype(dq_ref.dtype)
+        dk_ref[0, hi] = dk.astype(dk_ref.dtype)
+        dv_ref[0, hi] = dv.astype(dv_ref.dtype)
+
+
+def _spec(h, n, d):
+    return pl.BlockSpec((1, h, n, d), lambda b: (b, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def mhsa_fused(q, k, v, scale: float, interpret: bool = False):
+    """Fused MHSA: softmax(q @ k^T * scale) @ v per (image, head).
+
+    q, k, v: [B, n, heads, d]; returns [B, n, heads, d].
+    """
+    return _mhsa_fwd_call(q, k, v, scale, interpret)
+
+
+def _hfirst(x):
+    return jnp.moveaxis(x, 2, 1)                      # [B,n,h,d]->[B,h,n,d]
+
+
+def _hmid(x):
+    return jnp.moveaxis(x, 1, 2)                      # [B,h,n,d]->[B,n,h,d]
+
+
+def _mhsa_fwd_call(q, k, v, scale, interpret):
+    B, n, h, d = q.shape
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale, h),
+        out_shape=jax.ShapeDtypeStruct((B, h, n, d), v.dtype),
+        grid=(B,),
+        in_specs=[_spec(h, n, d)] * 3,
+        out_specs=_spec(h, n, d),
+        interpret=interpret,
+    )(_hfirst(q), _hfirst(k), _hfirst(v))
+    return _hmid(out)
+
+
+def _mhsa_fwd(q, k, v, scale, interpret):
+    return _mhsa_fwd_call(q, k, v, scale, interpret), (q, k, v)
+
+
+def _mhsa_bwd(scale, interpret, res, g):
+    q, k, v = res
+    B, n, h, d = q.shape
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale, h),
+        out_shape=[jax.ShapeDtypeStruct((B, h, n, d), x.dtype)
+                   for x in (q, k, v)],
+        grid=(B,),
+        in_specs=[_spec(h, n, d)] * 4,
+        out_specs=[_spec(h, n, d)] * 3,
+        interpret=interpret,
+    )(_hfirst(q), _hfirst(k), _hfirst(v), _hfirst(g))
+    return _hmid(dq), _hmid(dk), _hmid(dv)
+
+
+mhsa_fused.defvjp(_mhsa_fwd, _mhsa_bwd)

@@ -21,6 +21,56 @@ import jax.numpy as jnp
 from autoprog_tpu.ops.unfold import unfold_nhwc, fold_nhwc
 
 
+def outlook_attention_blockdiag(v: jax.Array, attn_logits: jax.Array, *,
+                                num_heads: int, kernel_size: int,
+                                stride: int, padding: int, scale: float,
+                                group: int = 7) -> jax.Array:
+    """Outlook attention with the attend as an MXU block-diagonal matmul.
+
+    The per-(token, head) attend is a k² x k² contraction — far too small
+    for the 128x128 MXU on its own. Merging `group` tokens into one
+    block-diagonal [g·k², g·k²] matrix per head makes the contraction
+    MXU-sized at the cost of a g-fold inflation of the attention tensor
+    (the off-diagonal zeros). Numerically identical to
+    `outlook_attention` (same softmax, same accumulation dtype discipline
+    modulo f32-sum vs matmul accumulation).
+    """
+    B, H, W, C = v.shape
+    k = kernel_size
+    h = math.ceil(H / stride)
+    w = math.ceil(W / stride)
+    d = C // num_heads
+    kk = k * k
+    n = h * w
+    g = group
+    if n % g:  # fall back when the token count doesn't tile
+        return outlook_attention(v, attn_logits, num_heads=num_heads,
+                                 kernel_size=k, stride=stride,
+                                 padding=padding, scale=scale)
+    m = n // g
+
+    patches = unfold_nhwc(v, k, stride, padding)          # [B,h,w,k,k,C]
+    attn = attn_logits.reshape(B, n, num_heads, kk, kk)
+    attn = attn.astype(jnp.float32) * scale
+    attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+
+    # block-diagonal merge: A_blk[b,m,hd, t*kk+p, t'*kk+q] =
+    #   attn[b, m*g+t, hd, p, q] * (t == t')
+    eye = jnp.eye(g, dtype=attn.dtype)
+    A = attn.reshape(B, m, g, num_heads, kk, kk).transpose(0, 1, 3, 2, 4, 5)
+    A = A[:, :, :, :, :, None, :] * eye[:, None, :, None]  # [B,m,hd,g,p,g',q]
+    A = A.reshape(B, m, num_heads, g * kk, g * kk)
+
+    P = patches.reshape(B, m, g, kk, num_heads, d)
+    P = P.transpose(0, 1, 4, 2, 3, 5).reshape(B, m, num_heads, g * kk, d)
+    O = jnp.einsum("bmhij,bmhjd->bmhid", A, P,
+                   preferred_element_type=jnp.float32).astype(v.dtype)
+    O = O.reshape(B, m, num_heads, g, kk, d).transpose(0, 1, 3, 4, 2, 5)
+    out = O.reshape(B, h, w, k, k, C)
+    return fold_nhwc(out, (H, W), kernel_size=k, stride=stride,
+                     padding=padding)
+
+
 def outlook_attention(v: jax.Array, attn_logits: jax.Array, *,
                       num_heads: int, kernel_size: int, stride: int,
                       padding: int, scale: float) -> jax.Array:

@@ -118,7 +118,10 @@ def main():
     @jax.jit
     def ev_loop(params, stats, batch):
         def body(i, acc):
-            return acc + ev(params, stats, batch)["loss_sum"]
+            # thread acc into the input so the loop body can't be hoisted
+            # out as loop-invariant (XLA LICM would time a single eval)
+            b = dict(batch, image=batch["image"] + acc * 1e-30)
+            return ev(params, stats, b)["loss_sum"]
         return jax.lax.fori_loop(0, iters, body, 0.0)
 
     r = ev_loop(state.params, state.batch_stats, data)

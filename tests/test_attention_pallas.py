@@ -1,0 +1,54 @@
+"""Fused MHSA Pallas kernel vs the XLA einsum path (interpreter mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from autoprog_tpu.ops.attention_pallas import mhsa_fused
+
+
+def xla_mhsa(q, k, v, scale):
+    s = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                   preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s * scale, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhnm,bmhd->bnhd", p, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def make_qkv(B=2, n=12, h=3, d=8, seed=0):
+    rs = np.random.RandomState(seed)
+    mk = lambda: jnp.asarray(rs.randn(B, n, h, d), jnp.float32)
+    return mk(), mk(), mk(), d ** -0.5
+
+
+def test_fused_mhsa_matches_xla():
+    q, k, v, scale = make_qkv()
+    ref = xla_mhsa(q, k, v, scale)
+    got = mhsa_fused(q, k, v, scale, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_fused_mhsa_matches_at_volo_shape():
+    # the real transformer-stage shape (tokens 196, head_dim 32)
+    q, k, v, scale = make_qkv(B=1, n=196, h=2, d=32, seed=1)
+    ref = xla_mhsa(q, k, v, scale)
+    got = mhsa_fused(q, k, v, scale, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_fused_mhsa_grads_match():
+    q, k, v, scale = make_qkv(B=1, n=12, h=2, d=8, seed=2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(xla_mhsa(q, k, v, scale) ** 2)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(mhsa_fused(q, k, v, scale, True) ** 2)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)

@@ -59,3 +59,45 @@ def test_fused_gradients_match():
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(ga_f), np.asarray(ga_r),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_blockdiag_matches_xla_reference():
+    from autoprog_tpu.ops.outlook import outlook_attention_blockdiag
+    # h=w=4 -> n=16 tokens; group=4 divides
+    v, attn, heads, scale = make_inputs(B=2, H=8, W=8, C=16, heads=4, seed=3)
+    ref = outlook_attention(v, attn, num_heads=heads, kernel_size=3,
+                            stride=2, padding=1, scale=scale)
+    got = outlook_attention_blockdiag(v, attn, num_heads=heads,
+                                      kernel_size=3, stride=2, padding=1,
+                                      scale=scale, group=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5,
+                               atol=2e-6)
+    # grads too (bwd runs through the same block-diag einsum)
+    def loss_ref(v, a):
+        return jnp.sum(outlook_attention(
+            v, a, num_heads=heads, kernel_size=3, stride=2, padding=1,
+            scale=scale) ** 2)
+
+    def loss_blk(v, a):
+        return jnp.sum(outlook_attention_blockdiag(
+            v, a, num_heads=heads, kernel_size=3, stride=2, padding=1,
+            scale=scale, group=4) ** 2)
+
+    gv_r, ga_r = jax.grad(loss_ref, argnums=(0, 1))(v, attn)
+    gv_b, ga_b = jax.grad(loss_blk, argnums=(0, 1))(v, attn)
+    np.testing.assert_allclose(np.asarray(gv_b), np.asarray(gv_r),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ga_b), np.asarray(ga_r),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_blockdiag_fallback_when_group_does_not_divide():
+    from autoprog_tpu.ops.outlook import outlook_attention_blockdiag
+    v, attn, heads, scale = make_inputs(B=1, H=6, W=6, C=8, heads=2, seed=4)
+    ref = outlook_attention(v, attn, num_heads=heads, kernel_size=3,
+                            stride=2, padding=1, scale=scale)
+    got = outlook_attention_blockdiag(v, attn, num_heads=heads,
+                                      kernel_size=3, stride=2, padding=1,
+                                      scale=scale, group=7)  # 9 % 7 != 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5,
+                               atol=2e-6)
