@@ -21,6 +21,17 @@ import jax.numpy as jnp
 from autoprog_tpu.ops.unfold import unfold_nhwc, fold_nhwc
 
 
+def _softmax_compute_dtype(logits, scale, dtype):
+    """Softmax with the [.., k^2, k^2] attention matrices materialized in
+    the compute dtype (half the HBM traffic of f32 when bf16; the
+    reference under apex AMP materializes fp16 the same way); exp and the
+    normalizing sum still accumulate in f32."""
+    s = (logits.astype(jnp.float32) * scale).astype(dtype)
+    s = s - s.max(axis=-1, keepdims=True)
+    e = jnp.exp(s.astype(jnp.float32))
+    return (e / e.sum(axis=-1, keepdims=True)).astype(dtype)
+
+
 def outlook_attention_blockdiag(v: jax.Array, attn_logits: jax.Array, *,
                                 num_heads: int, kernel_size: int,
                                 stride: int, padding: int, scale: float,
@@ -51,8 +62,7 @@ def outlook_attention_blockdiag(v: jax.Array, attn_logits: jax.Array, *,
 
     patches = unfold_nhwc(v, k, stride, padding)          # [B,h,w,k,k,C]
     attn = attn_logits.reshape(B, n, num_heads, kk, kk)
-    attn = attn.astype(jnp.float32) * scale
-    attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+    attn = _softmax_compute_dtype(attn, scale, v.dtype)
 
     # block-diagonal merge: A_blk[b,m,hd, t*kk+p, t'*kk+q] =
     #   attn[b, m*g+t, hd, p, q] * (t == t')
@@ -95,8 +105,7 @@ def outlook_attention(v: jax.Array, attn_logits: jax.Array, *,
     patches = patches.reshape(B, h * w, kk, C)            # natural layout
 
     attn = attn_logits.reshape(B, h * w, num_heads, kk, kk)
-    attn = attn.astype(jnp.float32) * scale
-    attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+    attn = _softmax_compute_dtype(attn, scale, v.dtype)
 
     # out[b,n,p,c] = sum_q attn[b,n,head(c),p,q] * patches[b,n,q,c].
     # The per-(token, head) kk x kk matmul is far too small for the MXU

@@ -115,13 +115,18 @@ def main():
     # fwd-only (eval-mode) full model
     ev = sb.eval_step()
 
+    def perturb(batch, acc):
+        # thread acc into the input so the loop body can't be hoisted out
+        # as loop-invariant (XLA LICM would time a single eval); cast to
+        # the image dtype so the perturbation doesn't promote the whole
+        # model input to f32
+        img = batch["image"]
+        return dict(batch, image=img + (acc * 1e-30).astype(img.dtype))
+
     @jax.jit
     def ev_loop(params, stats, batch):
         def body(i, acc):
-            # thread acc into the input so the loop body can't be hoisted
-            # out as loop-invariant (XLA LICM would time a single eval)
-            b = dict(batch, image=batch["image"] + acc * 1e-30)
-            return ev(params, stats, b)["loss_sum"]
+            return ev(params, stats, perturb(batch, acc))["loss_sum"]
         return jax.lax.fori_loop(0, iters, body, 0.0)
 
     r = ev_loop(state.params, state.batch_stats, data)
@@ -131,6 +136,24 @@ def main():
     t_ev = (time.perf_counter() - t0) / iters
     rows["eval fwd (full)"] = t_ev
     report("eval fwd (full)", t_ev)
+
+    # model fwd only, no metrics (isolates the top_k / metric cost)
+    @jax.jit
+    def fwd_loop(params, stats, batch):
+        def body(i, acc):
+            b = perturb(batch, acc)
+            logits = model.apply(
+                {"params": params, "batch_stats": stats}, b["image"],
+                train=False)
+            return jnp.sum(logits.astype(jnp.float32))
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    float(fwd_loop(state.params, state.batch_stats, data))
+    t0 = time.perf_counter()
+    float(fwd_loop(state.params, state.batch_stats, data))
+    t_fwd = (time.perf_counter() - t0) / iters
+    rows["model fwd only"] = t_fwd
+    report("model fwd only", t_fwd)
 
     full = rows["full step"]
     print("\nderived:", file=sys.stderr)
