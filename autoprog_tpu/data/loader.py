@@ -164,12 +164,15 @@ class Loader:
 
     # -- iteration ---------------------------------------------------------
 
-    def _collate(self, samples) -> Dict[str, np.ndarray]:
+    def _collate(self, samples, batch_idx: int = 0) -> Dict[str, np.ndarray]:
         xs, labels, maps = zip(*samples)
         if self.aug_splits > 1:
             # [B, splits, H, W, C] -> concatenated splits [splits*B, ...]
-            # (clean split first — the timm AugMixDataset batch layout)
-            stacked = np.stack(xs).astype(np.float32)
+            # (clean split first — the timm AugMixDataset batch layout);
+            # uint8 stays uint8 so the in-step normalize still triggers
+            stacked = np.stack(xs)
+            if stacked.dtype != np.uint8:
+                stacked = stacked.astype(np.float32)
             image = np.concatenate(
                 [stacked[:, k] for k in range(self.aug_splits)], axis=0)
             return {"image": image, "label": np.asarray(labels, np.int32)}
@@ -183,8 +186,10 @@ class Loader:
             batch["label_scores"] = np.stack([m[0] for m in maps])
             batch["label_inds"] = np.stack([m[1] for m in maps])
         if self.is_training and self.mixup is not None:
+            # keyed by batch index, not batch contents — content-derived
+            # seeds collide (birthday bound) and repeat lambda/cut boxes
             rng = np.random.default_rng(
-                (self.seed, self.epoch, int(labels[0]), len(samples)))
+                (self.seed, self.epoch, batch_idx, len(samples)))
             batch = self.mixup(batch, rng)
         return batch
 
@@ -201,13 +206,15 @@ class Loader:
 
         def batches_of(it):
             buf = []
+            bidx = 0
             for s in it:
                 buf.append(s)
                 if len(buf) == self.batch_size:
-                    yield self._collate(buf)
+                    yield self._collate(buf, bidx)
                     buf = []
+                    bidx += 1
             if buf and not self.drop_last:
-                yield self._collate(buf)
+                yield self._collate(buf, bidx)
 
         if self.num_workers == 0:
             yield from batches_of(map(_load_one, args))
@@ -235,6 +242,30 @@ class Loader:
             yield b
         t.join()
         assert not self.drop_last or produced == nb
+
+
+def pad_eval_batch(batch: Dict[str, np.ndarray], to_size: int
+                   ) -> Dict[str, np.ndarray]:
+    """Pad a partial final eval batch up to the compiled batch size.
+
+    Padding rows get label -1 (masked out of every metric sum by
+    `StepBuilder.eval_step`) and zero images. Keeps eval shapes static —
+    one compiled program regardless of dataset-size remainders — and keeps
+    the batch axis divisible by the mesh's data-axis size (the reference
+    never hits this because torch tolerates ragged final batches)."""
+    n = int(batch["label"].shape[0])
+    if n >= to_size:
+        return batch
+    pad = to_size - n
+    out: Dict[str, np.ndarray] = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        if k == "label":
+            out[k] = np.concatenate([v, np.full((pad,), -1, v.dtype)])
+        else:
+            out[k] = np.concatenate(
+                [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+    return out
 
 
 def create_loader(dataset, *, input_size: int, batch_size: int,

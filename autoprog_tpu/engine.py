@@ -28,7 +28,7 @@ import numpy as np
 
 from autoprog_tpu.config import resolve_data_config
 from autoprog_tpu.data.dataset import create_dataset
-from autoprog_tpu.data.loader import Loader, create_loader
+from autoprog_tpu.data.loader import Loader, create_loader, pad_eval_batch
 from autoprog_tpu.data.mixup import Mixup
 from autoprog_tpu.losses import build_train_loss
 from autoprog_tpu.parallel.mesh import make_mesh, replicate, shard_batch
@@ -199,6 +199,10 @@ def make_train_loader(ctx: TrainContext, *, aa: str, re_prob: float,
             ratio=tuple(args.ratio), hflip=args.hflip, vflip=args.vflip,
             interpolation=args.train_interpolation,
             mean=ctx.data_config["mean"], std=ctx.data_config["std"])
+        if getattr(args, "uint8_pipe", False):
+            # both splits must emit the same dtype — a float32 clean split
+            # stacked with uint8 aug splits would skip in-step normalize
+            loader.clean_transform.emit_uint8 = True
     return loader
 
 
@@ -349,12 +353,17 @@ def evaluate(ctx: TrainContext, loader: Loader, *, keep=None,
     params = params if params is not None else ctx.state.params
     batch_stats = batch_stats if batch_stats is not None else \
         ctx.state.batch_stats
-    sums = {"loss_sum": 0.0, "top1_sum": 0.0, "top5_sum": 0.0, "count": 0.0}
+    # accumulate metric sums as device scalars — one host readback per
+    # epoch instead of 4 D2H syncs per batch (pure latency on a remote
+    # chip); partial final batches pad to the compiled shape
+    acc = None
     for batch in loader:
+        batch = pad_eval_batch(batch, loader.batch_size)
         batch = shard_batch(ctx.mesh, batch)
         m = step(params, batch_stats, batch)
-        for k in sums:
-            sums[k] += float(m[k])
+        acc = m if acc is None else jax.tree.map(jnp.add, acc, m)
+    sums = {k: float(v) for k, v in acc.items()} if acc is not None else \
+        {"loss_sum": 0.0, "top1_sum": 0.0, "top5_sum": 0.0, "count": 0.0}
     n = max(sums["count"], 1.0)
     metrics = {"loss" + log_suffix: sums["loss_sum"] / n,
                "top1" + log_suffix: 100.0 * sums["top1_sum"] / n,

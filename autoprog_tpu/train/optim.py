@@ -93,7 +93,9 @@ def create_scheduler(args) -> Schedule:
                 return warmup_lr + (base_lr - warmup_lr) * epoch / max(warmup_t, 1)
             if epoch >= t_initial:
                 return min_lr  # cooldown tail
-            t = (epoch - warmup_t) / max(t_initial - warmup_t, 1)
+            # timm 0.4.5 CosineLRScheduler default warmup_prefix=False:
+            # the cosine phase counts warmup epochs, i.e. cos(pi*epoch/T)
+            t = epoch / max(t_initial, 1)
             return min_lr + 0.5 * (base_lr - min_lr) * (1 + math.cos(math.pi * t))
         return Schedule(fn, t_initial + args.cooldown_epochs)
 

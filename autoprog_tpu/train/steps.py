@@ -190,13 +190,18 @@ class StepBuilder:
             if isinstance(logits, tuple):
                 logits = logits[0]
             labels = batch["label"]
-            loss = _ce_logits_int(logits, labels)
-            top1 = (jnp.argmax(logits, -1) == labels)
+            # label < 0 marks padding rows (the loader pads the final
+            # partial batch to the compiled batch size; data/loader.py
+            # pad_eval_batch) — exclude them from every reduction
+            valid = labels >= 0
+            loss = _ce_logits_int(logits, jnp.maximum(labels, 0))
+            top1 = (jnp.argmax(logits, -1) == labels) & valid
             k5 = jax.lax.top_k(logits, min(5, logits.shape[-1]))[1]
-            top5 = jnp.any(k5 == labels[:, None], axis=-1)
-            return {"loss_sum": loss.sum(),
-                    "top1_sum": top1.sum(), "top5_sum": top5.sum(),
-                    "count": jnp.asarray(labels.shape[0], jnp.float32)}
+            top5 = jnp.any(k5 == labels[:, None], axis=-1) & valid
+            return {"loss_sum": jnp.where(valid, loss, 0.0).sum(),
+                    "top1_sum": top1.sum().astype(jnp.float32),
+                    "top5_sum": top5.sum().astype(jnp.float32),
+                    "count": valid.sum().astype(jnp.float32)}
         return jax.jit(step)
 
     # ---------------- search probes --------------------------------------

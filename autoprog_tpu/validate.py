@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from autoprog_tpu.config import resolve_data_config
 from autoprog_tpu.data.dataset import create_dataset
-from autoprog_tpu.data.loader import create_loader
+from autoprog_tpu.data.loader import create_loader, pad_eval_batch
 from autoprog_tpu.parallel.mesh import make_mesh, shard_batch
 from autoprog_tpu.registry import create_model
 from autoprog_tpu.train.checkpoint import load_checkpoint_file
@@ -131,12 +131,13 @@ def validate(args) -> dict:
                 interpolation=data_config["interpolation"],
                 mean=data_config["mean"], std=data_config["std"],
                 num_workers=args.workers)
-            sums = {"loss_sum": 0.0, "top1_sum": 0.0, "top5_sum": 0.0,
-                    "count": 0.0}
+            acc = None
             real = _RealLabels(args.real_labels, ds) if args.real_labels \
                 else None
             sample_idx = 0
             for i, batch in enumerate(loader):
+                orig_n = int(batch["label"].shape[0])
+                batch = pad_eval_batch(batch, loader.batch_size)
                 batch = shard_batch(mesh, batch)
                 if args.tta and args.tta > 1:
                     t = args.tta
@@ -165,15 +166,19 @@ def validate(args) -> dict:
                             batch["image"], train=False)
                         if isinstance(logits, tuple):
                             logits = logits[0]
-                    real.add(sample_idx, logits)
-                sample_idx += int(batch["label"].shape[0])
-                for k in sums:
-                    sums[k] += float(m[k])
+                    real.add(sample_idx, logits[:orig_n])
+                sample_idx += orig_n
+                # device-side accumulation: one D2H readback per epoch,
+                # plus one per log interval for the progress line
+                acc = m if acc is None else jax.tree.map(jnp.add, acc, m)
                 if i % args.log_interval == 0:
-                    _logger.info("Test: [%4d/%d]  Acc@1 %.4f", i,
-                                 len(loader),
-                                 100 * sums["top1_sum"] / max(sums["count"],
-                                                              1))
+                    _logger.info(
+                        "Test: [%4d/%d]  Acc@1 %.4f", i, len(loader),
+                        100 * float(acc["top1_sum"]) /
+                        max(float(acc["count"]), 1))
+            sums = {k: float(v) for k, v in acc.items()} if acc is not None \
+                else {"loss_sum": 0.0, "top1_sum": 0.0, "top5_sum": 0.0,
+                      "count": 0.0}
             break
         except jax.errors.JaxRuntimeError as e:
             # retry-on-OOM batch halving (`validate.py:311-322`)
@@ -200,15 +205,17 @@ def validate(args) -> dict:
 
 
 def _metrics_from_logits(logits, labels):
-    import jax.numpy as jnp
+    valid = labels >= 0  # padding rows (pad_eval_batch) carry label -1
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
-    loss = -jnp.take_along_axis(logp, labels[:, None], -1)[:, 0]
-    top1 = (jnp.argmax(logits, -1) == labels)
+    loss = -jnp.take_along_axis(logp, jnp.maximum(labels, 0)[:, None],
+                                -1)[:, 0]
+    top1 = (jnp.argmax(logits, -1) == labels) & valid
     k5 = jax.lax.top_k(logits, min(5, logits.shape[-1]))[1]
-    top5 = jnp.any(k5 == labels[:, None], -1)
-    return {"loss_sum": loss.sum(), "top1_sum": top1.sum(),
-            "top5_sum": top5.sum(),
-            "count": jnp.asarray(labels.shape[0], jnp.float32)}
+    top5 = jnp.any(k5 == labels[:, None], -1) & valid
+    return {"loss_sum": jnp.where(valid, loss, 0.0).sum(),
+            "top1_sum": top1.sum().astype(jnp.float32),
+            "top5_sum": top5.sum().astype(jnp.float32),
+            "count": valid.sum().astype(jnp.float32)}
 
 
 class _RealLabels:

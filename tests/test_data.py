@@ -211,3 +211,53 @@ def test_mixup_elem_mode_per_sample_lambdas():
     lams = [t[i, i] for i in range(6)]
     assert len(set(np.round(lams, 6))) > 1
     assert not np.array_equal(out["image"], orig)
+
+
+def test_pad_eval_batch_and_masked_eval_step():
+    """Remainder batches pad to the compiled shape; padded rows (label -1)
+    are masked out of every eval metric sum (advisor finding: a remainder
+    not divisible by the mesh data axis raised a sharding error)."""
+    import jax
+    import jax.numpy as jnp
+    from autoprog_tpu.data.loader import pad_eval_batch
+    from autoprog_tpu.train.steps import StepBuilder
+    from autoprog_tpu.registry import create_model
+
+    b = {"image": np.ones((5, 16, 16, 3), np.float32),
+         "label": np.arange(5, dtype=np.int32)}
+    p = pad_eval_batch(b, 8)
+    assert p["image"].shape == (8, 16, 16, 3)
+    assert list(p["label"][5:]) == [-1, -1, -1]
+    assert pad_eval_batch(p, 8) is p  # already full -> unchanged
+
+    mdef = create_model("deit_h2_l2")
+    model = mdef.make(num_classes=7, img_size=16)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 16, 16, 3)), train=False)
+    sb = StepBuilder(model=model, tx=None, train_loss=None, num_classes=7)
+    step = sb.eval_step()
+    m_pad = step(variables["params"], {}, {k: jnp.asarray(v)
+                                           for k, v in p.items()})
+    m_raw = step(variables["params"], {},
+                 {"image": jnp.asarray(b["image"]),
+                  "label": jnp.asarray(b["label"])})
+    assert float(m_pad["count"]) == 5.0
+    assert float(m_pad["top1_sum"]) == float(m_raw["top1_sum"])
+    assert float(m_pad["loss_sum"]) == pytest.approx(
+        float(m_raw["loss_sum"]), rel=1e-5)
+
+
+def test_mixup_seed_varies_by_batch_index():
+    """Two batches with identical contents must draw different mixup
+    randomness (seeded by batch index, not batch contents)."""
+    mx = Mixup(mixup_alpha=0.8, cutmix_alpha=0.0, prob=1.0,
+               num_classes=10, label_smoothing=0.0)
+    ds = SyntheticDataset(size=8, image_size=16, num_classes=10, seed=0)
+    ld = Loader(ds, batch_size=4, is_training=True,
+                transform=TrainTransform(size=16), mixup=mx, num_workers=0)
+    batches = list(ld)
+    assert len(batches) == 2
+    t0, t1 = batches[0]["soft_target"], batches[1]["soft_target"]
+    lam0 = float(t0.max(-1)[0])
+    lam1 = float(t1.max(-1)[0])
+    assert lam0 != pytest.approx(lam1)

@@ -124,8 +124,12 @@ def test_scheduler_shapes():
     sched = create_scheduler(args)
     assert sched.num_epochs == 110
     assert sched.fn(0) == pytest.approx(1e-6)
-    assert sched.fn(20) == pytest.approx(1.6e-3)
-    assert sched.fn(60) == pytest.approx(
+    # timm 0.4.5 warmup_prefix=False: post-warmup phase is cos(pi*epoch/T)
+    # with warmup epochs included, so fn(20) is already below base_lr
+    import math
+    assert sched.fn(20) == pytest.approx(
+        1e-5 + 0.5 * (1.6e-3 - 1e-5) * (1 + math.cos(math.pi * 0.2)), rel=1e-6)
+    assert sched.fn(50) == pytest.approx(
         1e-5 + 0.5 * (1.6e-3 - 1e-5), rel=1e-6)
     assert sched.fn(105) == pytest.approx(1e-5)  # cooldown tail
 
