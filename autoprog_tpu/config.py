@@ -227,6 +227,10 @@ def build_parser(prog: bool = False) -> argparse.ArgumentParser:
         g.add_argument("--search-probe-steps", type=int, default=50,
                        help="fixed-aug batches per candidate loss/time probe "
                             "(reference uses 50, main_prog.py:1892)")
+        g.add_argument("--search-time-iters", type=int, default=10,
+                       help="steps chained in one jitted fori_loop for the "
+                            "per-candidate step-time probe (amortizes "
+                            "per-dispatch latency out of the grow criterion)")
     return parser
 
 

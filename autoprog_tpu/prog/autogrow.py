@@ -143,13 +143,10 @@ def probe_candidate(ctx, loader_search, *, r: int, keep, params, batch_stats,
     if total_steps is None:
         total_steps = getattr(ctx.args, "search_probe_steps", 50)
     loss_step = ctx.sb.loss_probe_step(r=r, keep=keep)
-    tput_step = ctx.sb.throughput_probe_step(r=r, keep=keep) if with_time \
-        else None
     losses = AverageMeter()
-    times = AverageMeter()
     rng = jax.random.fold_in(ctx.rng, 4242)
     it = iter(loader_search)
-    warmed = False
+    first_batch = None
     for i in range(total_steps):
         try:
             batch = next(it)
@@ -157,24 +154,26 @@ def probe_candidate(ctx, loader_search, *, r: int, keep, params, batch_stats,
             it = iter(loader_search)
             batch = next(it)
         batch = shard_batch(ctx.mesh, batch)
+        if first_batch is None:
+            first_batch = batch
         losses.update(float(loss_step(params, batch_stats, batch,
                                       jax.random.fold_in(rng, i))),
                       batch["label"].shape[0])
-        if tput_step is not None:
-            # sync via a device->host readback of the probe's scalar: the
-            # criterion consumes these times (`main_prog.py:1721`) and
-            # block_until_ready alone can return early on remote backends
-            if not warmed:  # compile + warm outside the timed region
-                float(tput_step(params, batch_stats, batch,
-                                jax.random.fold_in(rng, 10_000 + i)))
-                warmed = True
-            t0 = time.perf_counter()
-            float(tput_step(params, batch_stats, batch,
-                            jax.random.fold_in(rng, 20_000 + i)))
-            times.update(time.perf_counter() - t0)
     out = {"loss": losses.avg}
-    if tput_step is not None:
-        out["time"] = times.avg
+    if with_time and first_batch is not None:
+        # the criterion consumes these times (`main_prog.py:1721`): chain
+        # K fwd+bwd steps in ONE jitted fori_loop and sync with a D2H
+        # readback (bench.py:time_step discipline) — a single timed
+        # dispatch carries a constant 3-7 ms tunnel offset that skews
+        # time^w against small candidates
+        iters = int(getattr(ctx.args, "search_time_iters", 10))
+        multi = ctx.sb.chained_throughput_probe(r=r, keep=keep, iters=iters)
+        t_rng = jax.random.fold_in(rng, 10_000)
+        float(multi(params, batch_stats, first_batch, t_rng))  # compile+warm
+        t0 = time.perf_counter()
+        float(multi(params, batch_stats, first_batch,
+                    jax.random.fold_in(t_rng, 1)))
+        out["time"] = (time.perf_counter() - t0) / iters
     return out
 
 
@@ -228,23 +227,20 @@ def train_one_epoch_super(ctx, epoch: int, loader, loader_search, *,
         l = int(sampler.choice(l_list))
         r = int(sampler.choice(r_list))
         l_idx, r_idx = l_list.index(l), r_list.index(r)
-        step = ctx.sb.train_step(r=r, keep=keep_of[l], splits=splits,
-                                 re_prob=device_re)
         batch = shard_batch(ctx.mesh, batch)
         if not warmed_steps:
-            # pre-compile every candidate program on a throwaway state copy
-            # so the random sampling loop never stalls on a mid-epoch
-            # compile (the AOT mitigation of SURVEY §7.3.1)
-            import jax.numpy as jnp
-            scratch = jax.tree.map(jnp.copy, state)
+            # AOT-compile every candidate program (lower().compile(): no
+            # execution, no throwaway state copies) so the random sampling
+            # loop never stalls on a mid-epoch compile (SURVEY §7.3.1)
             for r_c in r_list:
                 for l_c in l_list:
-                    s2 = jax.tree.map(jnp.copy, scratch)
-                    ctx.sb.train_step(r=r_c, keep=keep_of[l_c],
-                                      splits=splits, re_prob=device_re)(
-                        s2, batch, lr, ctx.rng)
-            del scratch, s2
+                    ctx.sb.warmup_train_step(
+                        r=r_c, keep=keep_of[l_c], splits=splits,
+                        re_prob=device_re,
+                        example=(state, batch, lr, ctx.rng))
             warmed_steps = True
+        step = ctx.sb.train_step(r=r, keep=keep_of[l], splits=splits,
+                                 re_prob=device_re)
         state, metrics = step(state, batch, lr, ctx.rng)
         losses_m[r_idx][l_idx].update(float(metrics["loss"]))
         batch_time.update(time.time() - end)

@@ -68,6 +68,7 @@ class StepBuilder:
         self._eval_cache: Dict = {}
         self._probe_cache: Dict = {}
         self._tput_cache: Dict = {}
+        self._tput_chain_cache: Dict = {}
 
     # ---------------- target construction (in-jit) ----------------------
 
@@ -118,6 +119,22 @@ class StepBuilder:
         if key not in self._train_cache:
             self._train_cache[key] = self._make_train_step(r, keep, splits,
                                                            re_prob)
+        return self._train_cache[key]
+
+    def warmup_train_step(self, *, r: int, keep=None, splits: int = 1,
+                          re_prob: float = 0.0, example):
+        """AOT-compile the step for `example` args without executing it.
+
+        `jit.lower(...).compile()` consumes no donated buffers and builds
+        no throwaway states, so precompiling every search candidate at
+        supernet-epoch start costs zero extra device memory (the executing
+        warmup needed a full TrainState copy per candidate — 2x state
+        memory with the largest model live). The compiled handle replaces
+        the cache entry; later `train_step` calls return it directly."""
+        key = (r, keep, splits, re_prob)
+        fn = self.train_step(r=r, keep=keep, splits=splits, re_prob=re_prob)
+        if hasattr(fn, "lower"):  # still the traceable jit, not Compiled
+            self._train_cache[key] = fn.lower(*example).compile()
         return self._train_cache[key]
 
     def _make_train_step(self, r: int, keep, splits: int,
@@ -245,3 +262,37 @@ class StepBuilder:
                     jnp.add, jax.tree.map(lambda x: jnp.sum(jnp.abs(x)), grads))
             self._tput_cache[key] = jax.jit(step)
         return self._tput_cache[key]
+
+    def chained_throughput_probe(self, *, r: int, keep=None, iters: int = 10):
+        """`iters` fwd+bwd probe steps chained in ONE jitted fori_loop.
+
+        Per-dispatch host/tunnel latency (3-7 ms on the axon backend) is a
+        constant offset on a single timed dispatch — it skews the grow
+        criterion's `time^w` against small candidates whose true step is
+        the same order as the offset. Chaining amortizes it to noise
+        (exactly `bench.py:time_step`'s discipline). The per-iteration
+        rng fold-in keeps the body loop-variant so XLA cannot hoist it."""
+        key = (r, keep, iters)
+        if key not in self._tput_chain_cache:
+            def micro(params, batch_stats, images, target, rng):
+                images = self._prep_images(images)
+                images = resize_bilinear(images, r)
+                out, _ = self._apply_train(params, batch_stats, images, rng,
+                                           keep)
+                return self.train_loss(out, target)
+
+            g = jax.grad(micro)
+
+            def multi(params, batch_stats, batch, rng):
+                target = self._build_target(batch, r)
+
+                def body(i, acc):
+                    grads = g(params, batch_stats, batch["image"], target,
+                              jax.random.fold_in(rng, i))
+                    return acc + jax.tree.reduce(
+                        jnp.add,
+                        jax.tree.map(lambda x: jnp.sum(jnp.abs(x)), grads))
+
+                return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+            self._tput_chain_cache[key] = jax.jit(multi)
+        return self._tput_chain_cache[key]

@@ -93,3 +93,57 @@ def test_score_candidates_taylor_branch_runs():
     best, table = score_candidates(rounds, cfgs, stage=1)
     assert best in cfgs
     assert all(np.isfinite(v) for v in table.values())
+
+
+def test_probe_candidate_times_via_chained_fori_loop(monkeypatch):
+    """The grow criterion's step-time probe must use the fori_loop-chained
+    program (per-dispatch tunnel latency is a constant offset that skews
+    time^w against small candidates — VERDICT r1 weak #3)."""
+    import types
+    import jax
+    import jax.numpy as jnp
+    from autoprog_tpu.parallel.mesh import make_mesh
+    from autoprog_tpu.registry import create_model
+    from autoprog_tpu.train.optim import create_optimizer
+    from autoprog_tpu.train.steps import StepBuilder
+    from autoprog_tpu.losses import build_train_loss
+    from autoprog_tpu.prog import autogrow
+
+    args = types.SimpleNamespace(
+        opt="adamw", opt_eps=None, opt_betas=None, momentum=0.9,
+        weight_decay=0.0, clip_grad=None, clip_mode="norm",
+        token_label=False, token_label_data="", smoothing=0.1,
+        search_probe_steps=2, search_time_iters=3)
+    mdef = create_model("deit_h2_l2")
+    model = mdef.make(num_classes=5, img_size=16)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 16, 16, 3)), train=False)
+    tx = create_optimizer(args, variables["params"])
+    sb = StepBuilder(model=model, tx=tx, train_loss=build_train_loss(args),
+                     num_classes=5)
+
+    chained_calls = []
+    single_calls = []
+    orig = StepBuilder.chained_throughput_probe
+
+    def spy_chained(self, **kw):
+        chained_calls.append(kw)
+        return orig(self, **kw)
+
+    monkeypatch.setattr(StepBuilder, "chained_throughput_probe", spy_chained)
+    monkeypatch.setattr(
+        StepBuilder, "throughput_probe_step",
+        lambda self, **kw: single_calls.append(kw) or (lambda *a: 0.0))
+
+    ctx = types.SimpleNamespace(args=args, sb=sb, mesh=make_mesh(),
+                                rng=jax.random.PRNGKey(0))
+    rs = np.random.default_rng(0)
+    batches = [{"image": rs.normal(size=(8, 16, 16, 3)).astype(np.float32),
+                "label": rs.integers(0, 5, 8).astype(np.int32)}
+               for _ in range(2)]
+    out = autogrow.probe_candidate(
+        ctx, batches, r=16, keep=None, params=variables["params"],
+        batch_stats={}, with_time=True)
+    assert chained_calls and chained_calls[0]["iters"] == 3
+    assert not single_calls          # the single-dispatch path is dead
+    assert out["time"] > 0 and np.isfinite(out["loss"])
