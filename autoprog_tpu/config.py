@@ -43,7 +43,13 @@ def build_parser(prog: bool = False) -> argparse.ArgumentParser:
     g = parser.add_argument_group("data/model")
     g.add_argument("data_dir", metavar="DIR", nargs="?", default="synthetic://",
                    help="path to dataset root (or synthetic:// for generated data)")
-    g.add_argument("--dataset", "-d", default="", help="dataset type: '' (ImageFolder), 'synthetic'")
+    g.add_argument("--dataset", "-d", default="",
+                   help="dataset type: '' (ImageFolder), 'synthetic', "
+                        "'tfrecord' (ImageNet-style TFRecord shards), "
+                        "'tfds/<name>', 'hfds/<name-or-path>'")
+    g.add_argument("--dataset-size", type=int, default=0,
+                   help="sample count hint for iterable datasets whose "
+                        "cardinality is unknown (skips the one-time count)")
     g.add_argument("--train-split", default="train")
     g.add_argument("--val-split", default="validation")
     g.add_argument("--model", default="volo_d1", type=str)

@@ -172,21 +172,200 @@ class FixedAugDataset:
         return np.random.default_rng(self.seed * 7_777_777 + i)
 
 
+# ------------------------- iterable (stream) datasets ----------------------
+
+
+class IterableImageDataset:
+    """Stream-style dataset protocol (the reference's tfds-iterable branch,
+    `prog/dataset.py:79-94` via `timm.create_dataset`): no random access;
+    `iter_samples(epoch, shard_index, shard_count)` yields
+    (image-or-RawJpeg-bytes, int label, maps-or-None) for this host's
+    shard. `__len__` returns the GLOBAL sample count (the Loader divides
+    by shard count). ImageNet-scale input on TPU hosts usually arrives as
+    TFRecord/ArrayRecord shards, not an ImageFolder tree — this is the
+    path that serves it."""
+
+    is_iterable = True
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def iter_samples(self, epoch: int, shard_index: int, shard_count: int):
+        raise NotImplementedError
+
+
+class TFRecordImageDataset(IterableImageDataset):
+    """ImageNet-style TFRecord shards via a minimal tf.data read pipeline
+    (record IO + shuffle in C++; decode/augment stay in the Loader's
+    worker pool, which receives the raw JPEG bytes).
+
+    Expects tf.Example features `image/encoded` (JPEG bytes) and
+    `image/class/label` (int64); `label_offset` handles the 1-based
+    labels of the classic ImageNet TFRecords. Pickles cleanly (holds only
+    file names + params; the tf.data pipeline is built per epoch)."""
+
+    def __init__(self, root: str, split: str = "train",
+                 is_training: bool = False, seed: int = 42,
+                 num_samples: int = 0, label_offset: int = 0,
+                 shuffle_buffer: int = 8192):
+        import glob as _glob
+        pats = [os.path.join(root, f"{split}*"),
+                os.path.join(root, split, "*")]
+        files: List[str] = []
+        for p in pats:
+            files = sorted(f for f in _glob.glob(p) if os.path.isfile(f))
+            if files:
+                break
+        if not files:
+            raise FileNotFoundError(
+                f"no TFRecord files matching {pats} under {root}")
+        self.files = files
+        self.split = split
+        self.is_training = is_training
+        self.seed = seed
+        self.label_offset = label_offset
+        self.shuffle_buffer = shuffle_buffer
+        self._num_samples = num_samples
+
+    def __len__(self) -> int:
+        if not self._num_samples:
+            # one-time count (record IO only, no decode); cached
+            import tensorflow as tf
+            n = 0
+            for _ in tf.data.TFRecordDataset(self.files):
+                n += 1
+            self._num_samples = n
+        return self._num_samples
+
+    def iter_samples(self, epoch: int, shard_index: int, shard_count: int):
+        import tensorflow as tf
+        from autoprog_tpu.data.raw import RawJpeg
+        files = tf.data.Dataset.from_tensor_slices(self.files)
+        if self.is_training:
+            files = files.shuffle(len(self.files), seed=self.seed + epoch,
+                                  reshuffle_each_iteration=False)
+        files = files.shard(shard_count, shard_index)
+        ds = files.interleave(tf.data.TFRecordDataset, cycle_length=4,
+                              num_parallel_calls=tf.data.AUTOTUNE,
+                              deterministic=True)
+        if self.is_training and self.shuffle_buffer:
+            ds = ds.shuffle(self.shuffle_buffer, seed=self.seed + epoch,
+                            reshuffle_each_iteration=False)
+        spec = {"image/encoded": tf.io.FixedLenFeature([], tf.string),
+                "image/class/label": tf.io.FixedLenFeature([], tf.int64)}
+        for rec in ds.as_numpy_iterator():
+            ex = tf.io.parse_single_example(rec, spec)
+            label = int(ex["image/class/label"].numpy()) + self.label_offset
+            yield RawJpeg(bytes(ex["image/encoded"].numpy())), label, None
+
+
+class TFDSImageDataset(IterableImageDataset):
+    """`tfds/<name>` datasets through tensorflow_datasets (the reference's
+    dataset-name grammar routes tfds names the same way). Gated: raises a
+    clear error when the tfds package is absent."""
+
+    def __init__(self, name: str, root: str, split: str = "train",
+                 is_training: bool = False, seed: int = 42):
+        try:
+            import tensorflow_datasets as tfds  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "--dataset tfds/... requires the tensorflow_datasets "
+                "package (not installed in this environment)") from e
+        self.name = name
+        self.data_dir = root or None
+        self.split = {"validation": "validation", "train": "train"}.get(
+            split, split)
+        self.is_training = is_training
+        self.seed = seed
+        self._builder = tfds.builder(name, data_dir=self.data_dir)
+        self._num = self._builder.info.splits[self.split].num_examples
+
+    def __len__(self) -> int:
+        return self._num
+
+    def iter_samples(self, epoch: int, shard_index: int, shard_count: int):
+        import tensorflow_datasets as tfds
+        from PIL import Image
+        split = tfds.even_splits(self.split, shard_count)[shard_index]
+        ds = self._builder.as_dataset(
+            split=split, shuffle_files=self.is_training,
+            read_config=tfds.ReadConfig(shuffle_seed=self.seed + epoch))
+        if self.is_training:
+            ds = ds.shuffle(8192, seed=self.seed + epoch)
+        for ex in ds.as_numpy_iterator():
+            img = ex["image"]
+            yield Image.fromarray(img), int(ex["label"]), None
+
+
+class HFDatasetWrapper:
+    """`hfds/<path-or-name>` — a HuggingFace `datasets` dataset saved to
+    disk (or hub-cached). Map-style: HF datasets are randomly accessible,
+    so the full Loader path (sharding, fixed-aug search seeds) applies."""
+
+    def __init__(self, spec: str, root: str, split: str = "train"):
+        import datasets as hfd
+        path = next((p for p in (root, spec) if p and os.path.isdir(p)),
+                    None)
+        if path is not None:
+            d = hfd.load_from_disk(path)
+        else:
+            d = hfd.load_dataset(spec, split=split)
+        if isinstance(d, hfd.DatasetDict):
+            aliases = {"validation": ("validation", "valid", "val", "test"),
+                       "train": ("train", "training")}.get(split, (split,))
+            key = next((a for a in aliases if a in d), None)
+            if key is None:
+                raise KeyError(f"split {split!r} not in {list(d)}")
+            d = d[key]
+        self.ds = d
+        cols = self.ds.column_names
+        self.image_key = "image" if "image" in cols else "img"
+        self.label_key = "label" if "label" in cols else "fine_label"
+        feat = self.ds.features[self.label_key]
+        self.num_classes = getattr(feat, "num_classes", None)
+
+    def __len__(self):
+        return len(self.ds)
+
+    def load(self, i: int):
+        row = self.ds[int(i)]
+        img = row[self.image_key]
+        if not hasattr(img, "convert"):  # raw array -> PIL
+            from PIL import Image
+            img = Image.fromarray(np.asarray(img))
+        return img, int(row[self.label_key]), None
+
+
 def create_dataset(name: str, root: str, split: str = "train",
                    is_training: bool = False, fixed_aug: bool = False,
                    token_label_root: str = "", num_classes: int = 1000,
                    fake_size: int = 1024, image_size: int = 224,
+                   seed: int = 42, dataset_size: int = 0,
                    **_):
-    """Dataset factory (`prog/dataset.py:79-94` + tlt dataset)."""
+    """Dataset factory (`prog/dataset.py:79-94` + tlt dataset). The
+    `name` grammar mirrors the reference's timm-style prefixes:
+    '' / 'folder' -> ImageFolder, 'tfds/<n>' -> tensorflow_datasets,
+    'tfrecord' -> raw TFRecord shards, 'hfds/<n>' -> HuggingFace datasets,
+    'synthetic' -> generated."""
     if name == "synthetic" or root.startswith("synthetic://"):
         ds = SyntheticDataset(
             size=fake_size, num_classes=num_classes, image_size=image_size,
             token_label_hw=14 if token_label_root else None)
+    elif name.startswith("tfds/"):
+        ds = TFDSImageDataset(name[len("tfds/"):], root, split=split,
+                              is_training=is_training, seed=seed)
+    elif name == "tfrecord" or name.startswith("tfrecord"):
+        ds = TFRecordImageDataset(root, split=split,
+                                  is_training=is_training, seed=seed,
+                                  num_samples=dataset_size)
+    elif name.startswith("hfds/"):
+        ds = HFDatasetWrapper(name[len("hfds/"):], root, split=split)
     elif token_label_root and is_training:
         ds = TokenLabelDataset(root, token_label_root, split)
     else:
         ds = ImageFolderDataset(root, split)
-    if fixed_aug:
+    if fixed_aug and not getattr(ds, "is_iterable", False):
         ds = FixedAugDataset(ds)
     return ds
 

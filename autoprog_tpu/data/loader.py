@@ -58,17 +58,12 @@ def crop_label_maps(scores: np.ndarray, inds: np.ndarray, cp: CropParams,
     return np.ascontiguousarray(s), np.ascontiguousarray(ix)
 
 
-def _load_one(args):
-    idx, seed = args
-    ds = _WORKER_STATE["dataset"]
+def _transform_sample(img, label, maps, seed, rng=None):
     tf = _WORKER_STATE["transform"]
     map_hw = _WORKER_STATE["label_map_hw"]
-    img, label, maps = ds.load(idx)
     if isinstance(tf, EvalTransform):
         return tf(img), label, None
-    if isinstance(ds, FixedAugDataset):
-        rng = ds.aug_rng(idx, 0)
-    else:
+    if rng is None:
         rng = np.random.default_rng(seed)
     splits = _WORKER_STATE.get("aug_splits") or 0
     if splits > 1:
@@ -83,6 +78,22 @@ def _load_one(args):
     if maps is not None:
         out_maps = crop_label_maps(maps[0], maps[1], cp, map_hw)
     return x, label, out_maps
+
+
+def _load_one(args):
+    idx, seed = args
+    ds = _WORKER_STATE["dataset"]
+    img, label, maps = ds.load(idx)
+    rng = ds.aug_rng(idx, 0) if isinstance(ds, FixedAugDataset) else None
+    return _transform_sample(img, label, maps, seed, rng)
+
+
+def _transform_stream_item(args):
+    """Worker fn for iterable datasets: the parent streams (sample, seed)
+    pairs (raw JPEG bytes travel cheaply through the pool's pipe); decode
+    + augment happen here."""
+    (img, label, maps), seed = args
+    return _transform_sample(img, label, maps, seed)
 
 
 class Loader:
@@ -115,6 +126,10 @@ class Loader:
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
+    @property
+    def is_iterable(self) -> bool:
+        return bool(getattr(self.dataset, "is_iterable", False))
+
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)
         if self.is_training:
@@ -129,7 +144,12 @@ class Loader:
         return mine
 
     def __len__(self) -> int:
-        mine = len(self._indices())
+        if self.is_iterable:
+            # iterable datasets report the GLOBAL count; per-shard counts
+            # under file-level sharding are an estimate (+/- one batch)
+            mine = len(self.dataset) // self.process_count
+        else:
+            mine = len(self._indices())
         if self.drop_last:
             return mine // self.batch_size
         return (mine + self.batch_size - 1) // self.batch_size
@@ -199,9 +219,17 @@ class Loader:
             # refresh inline state (transform may have changed between stages)
             _worker_init(self.dataset, self.transform, self.label_map_hw,
                          self.clean_transform, self.aug_splits)
-        idxs = self._indices()
         base = np.random.SeedSequence([self.seed, self.epoch]).generate_state(1)[0]
-        args = [(int(i), int(base) + int(i)) for i in idxs]
+        if self.is_iterable:
+            stream = self.dataset.iter_samples(
+                self.epoch if self.is_training else 0,
+                self.process_index, self.process_count)
+            args = ((s, int(base) + j) for j, s in enumerate(stream))
+            work_fn = _transform_stream_item
+        else:
+            idxs = self._indices()
+            args = [(int(i), int(base) + int(i)) for i in idxs]
+            work_fn = _load_one
         nb = len(self)
 
         def batches_of(it):
@@ -217,10 +245,10 @@ class Loader:
                 yield self._collate(buf, bidx)
 
         if self.num_workers == 0:
-            yield from batches_of(map(_load_one, args))
+            yield from batches_of(map(work_fn, args))
             return
 
-        it = self._pool.imap(_load_one, args, chunksize=8)
+        it = self._pool.imap(work_fn, args, chunksize=8)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         DONE = object()
 
@@ -241,7 +269,8 @@ class Loader:
             produced += 1
             yield b
         t.join()
-        assert not self.drop_last or produced == nb
+        # per-shard counts are only estimated for iterable datasets
+        assert self.is_iterable or not self.drop_last or produced == nb
 
 
 def pad_eval_batch(batch: Dict[str, np.ndarray], to_size: int

@@ -166,7 +166,8 @@ def make_train_loader(ctx: TrainContext, *, aa: str, re_prob: float,
         args.dataset, args.data_dir, split=args.train_split,
         is_training=True, token_label_root=args.token_label_data,
         num_classes=args.num_classes, fake_size=args.fake_data_size,
-        image_size=ctx.data_config["input_size"][-1])
+        image_size=ctx.data_config["input_size"][-1], seed=args.seed,
+        dataset_size=getattr(args, "dataset_size", 0))
     mixup_active = args.mixup > 0 or args.cutmix > 0 or \
         args.cutmix_minmax is not None
     mixup = Mixup(mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,
@@ -211,7 +212,9 @@ def make_eval_loader(ctx: TrainContext) -> Loader:
     ds = create_dataset(args.dataset, args.data_dir, split=args.val_split,
                         is_training=False, num_classes=args.num_classes,
                         fake_size=max(args.fake_data_size // 4, 64),
-                        image_size=ctx.data_config["input_size"][-1])
+                        image_size=ctx.data_config["input_size"][-1],
+                        seed=args.seed,
+                        dataset_size=getattr(args, "dataset_size", 0))
     loader = create_loader(
         ds, input_size=ctx.data_config["input_size"][-1],
         batch_size=(args.validation_batch_size_multiplier * args.batch_size)
@@ -235,7 +238,8 @@ def make_search_loader(ctx: TrainContext) -> Loader:
         is_training=True, fixed_aug=True,
         token_label_root=args.token_label_data,
         num_classes=args.num_classes, fake_size=args.fake_data_size,
-        image_size=ctx.data_config["input_size"][-1])
+        image_size=ctx.data_config["input_size"][-1], seed=args.seed,
+        dataset_size=getattr(args, "dataset_size", 0))
     per_host = max(args.batch_size // max(args.batch_splits_list[-1], 1), 1) \
         // jax.process_count() if hasattr(args, "batch_splits_list") else \
         args.batch_size // jax.process_count()

@@ -66,9 +66,11 @@ def main(argv=None):
         start_epoch = args.start_epoch
     if args.finetune:
         from autoprog_tpu.finetune import load_pretrained_weights
-        ctx.state = ctx.state.replace(params=load_pretrained_weights(
-            ctx.state.params, args.finetune, use_ema=args.model_ema,
-            num_classes=args.num_classes))
+        from autoprog_tpu.parallel.mesh import replicate
+        ctx.state = ctx.state.replace(params=replicate(
+            ctx.mesh, load_pretrained_weights(
+                ctx.state.params, args.finetune, use_ema=args.model_ema,
+                num_classes=args.num_classes)))
         engine.evaluate_all(ctx, loader_eval)
 
     num_epochs = ctx.schedule.num_epochs

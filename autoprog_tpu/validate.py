@@ -259,7 +259,9 @@ def main(argv=None):
     apply_platform_env()
     setup_logging()
     args = build_parser().parse_args(argv)
-    # bulk modes: directory of checkpoints or wildcard (`validate.py:282-297`)
+    # bulk modes: directory of checkpoints, wildcard, or every registered
+    # model (`validate.py:282-297`; the reference's `--model all` sweeps
+    # the timm registry)
     checkpoints: List[str] = []
     if args.checkpoint and os.path.isdir(args.checkpoint):
         checkpoints = sorted(glob.glob(
@@ -267,7 +269,26 @@ def main(argv=None):
     elif "*" in args.checkpoint:
         checkpoints = sorted(glob.glob(args.checkpoint))
     results = []
-    if checkpoints:
+    if args.model == "all":
+        from autoprog_tpu.registry import list_models
+        names = [n for n in list_models() if n != "model_variant"]
+        ckpt_by_arch = {}
+        for c in checkpoints:
+            try:
+                arch = load_checkpoint_file(c).get("arch")
+            except Exception:
+                continue
+            ckpt_by_arch.setdefault(arch, c)
+        for name in names:
+            sub = argparse.Namespace(**vars(args))
+            sub.model = name
+            sub.checkpoint = ckpt_by_arch.get(name, "")
+            try:
+                results.append(validate(sub))
+            except Exception as e:  # keep sweeping (`validate.py:323-326`)
+                _logger.warning("model %s failed: %s", name, e)
+        results.sort(key=lambda r: r["top1"], reverse=True)
+    elif checkpoints:
         for c in checkpoints:
             sub = argparse.Namespace(**vars(args))
             sub.checkpoint = c
@@ -277,7 +298,8 @@ def main(argv=None):
         results.append(validate(args))
     if args.results_file and results:
         write_results(args.results_file, results)
-    print(f"--result\n{results[0]}")
+    if results:
+        print(f"--result\n{results[0]}")
     return results
 
 
