@@ -133,7 +133,8 @@ def setup(args, args_text: str, *, prog: bool, output_dir: str = "",
     if getattr(args, "model_parallel", 1) > 1:
         # pallas_call is opaque to the SPMD partitioner — the fused MHSA
         # kernel would force gathers of head-sharded activations under TP
-        os.environ.setdefault("AUTOPROG_FUSED_ATTN", "0")
+        # (hard off: the kernel is default-on, correctness beats the flag)
+        os.environ["AUTOPROG_FUSED_ATTN"] = "0"
     mesh = make_mesh(model_parallel=getattr(args, "model_parallel", 1))
     if args.num_classes is None:
         args.num_classes = 1000 if not args.data_dir.startswith("synthetic") \

@@ -38,23 +38,23 @@ trunc_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0
 
 def _use_fused_attn(n_lead: int, attn_drop: float, deterministic: bool,
                     n_tokens: int, head_dim: int) -> bool:
-    """Route MHSA through the fused Pallas kernel (ops/attention_pallas.py).
+    """Route MHSA through the fused Pallas kernel (ops/attention_pallas.py,
+    mhsa_fused_qkv — consumes the raw [B, n, 3C] qkv projection, so there
+    is NO relayout at the pallas_call boundary).
 
-    AUTOPROG_FUSED_ATTN = 1 | 0 (default 0). In isolation the kernel wins
-    fwd+bwd at the volo_d1 transformer shape (3.35 vs 4.38 ms/layer) but
-    in the full train step it loses (~+0.6 ms/layer): pallas_call is a
-    fusion barrier, so the qkv reshape/transpose that XLA folds into the
-    einsum for free becomes explicit relayouts (PERF.md). Opt-in until
-    the boundary relayouts are solved. Never used under tensor
-    parallelism (pallas_call is opaque to the SPMD partitioner; the
-    engine clears the flag)."""
+    AUTOPROG_FUSED_ATTN = 1 | 0 (default 1: measured at the model's own
+    qkv-level boundary the kernel wins both directions — fwd 1.71 vs 2.23
+    ms/layer, fwd+bwd 3.16 vs 4.10 at [B=128, n=196, C=384, 12 heads],
+    scripts/bench_attn.py). Never used under tensor parallelism
+    (pallas_call is opaque to the SPMD partitioner; the engine forces the
+    flag off)."""
     import os
 
     import jax
 
-    if os.environ.get("AUTOPROG_FUSED_ATTN", "0") != "1":
+    if os.environ.get("AUTOPROG_FUSED_ATTN", "1") != "1":
         return False
-    if deterministic or attn_drop or n_lead != 1:
+    if attn_drop or n_lead != 1:
         return False
     # VMEM budget: the [n, n] f32 score matrix must fit comfortably
     if n_tokens > 1024 or head_dim > 128:
@@ -136,16 +136,15 @@ class Attention(nn.Module):
         scale = head_dim ** -0.5
         qkv = dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
                     name="qkv")(x)
-        qkv = qkv.reshape(*lead, N, 3, self.num_heads, head_dim)
-        q, k, v = (jnp.moveaxis(qkv, -3, 0)[i] for i in range(3))
         if _use_fused_attn(len(lead), self.attn_drop, deterministic, N,
                            head_dim):
-            from autoprog_tpu.ops.attention_pallas import mhsa_fused
-            out = mhsa_fused(q, k, v, scale)
-            out = out.reshape(*lead, N, C)
+            from autoprog_tpu.ops.attention_pallas import mhsa_fused_qkv
+            out = mhsa_fused_qkv(qkv, self.num_heads, scale)
             out = dense(C, dtype=self.dtype, name="proj")(out)
             return nn.Dropout(self.proj_drop)(out,
                                               deterministic=deterministic)
+        qkv = qkv.reshape(*lead, N, 3, self.num_heads, head_dim)
+        q, k, v = (jnp.moveaxis(qkv, -3, 0)[i] for i in range(3))
         attn = jnp.einsum("...nhd,...mhd->...hnm", q, k,
                           preferred_element_type=jnp.float32)
         if N >= 128:

@@ -145,3 +145,117 @@ def _mhsa_bwd(scale, interpret, res, g):
 
 
 mhsa_fused.defvjp(_mhsa_fwd, _mhsa_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Boundary-free variant: consume the RAW fused-qkv Dense output [B, n, 3C]
+# and emit the natural [B, n, C] the out-projection wants. The original
+# mhsa_fused wins fwd+bwd in isolation but loses end-to-end because the
+# [B,n,3,h,d] -> 3x[B,h,n,d] relayouts XLA folds into the einsum for free
+# become explicit HBM transposes at the pallas_call boundary (PERF.md).
+# Here the head split happens IN VMEM as static 32-lane slices of the
+# [n, 3C] block — the kernel's in/out layouts are exactly what the
+# surrounding matmuls produce/consume, so XLA has nothing to relayout.
+# Channel order matches layers.py's reshape(N, 3, heads, d): lane index
+# j*C + h*d + d_i for j in (q, k, v).
+
+
+def _qkv_slices(qkv_ref, C: int, d: int, hi: int):
+    q = qkv_ref[0, :, hi * d:(hi + 1) * d]
+    k = qkv_ref[0, :, C + hi * d:C + (hi + 1) * d]
+    v = qkv_ref[0, :, 2 * C + hi * d:2 * C + (hi + 1) * d]
+    return q, k, v
+
+
+def _fwd_kernel_qkv(scale, num_heads, qkv_ref, o_ref):
+    C = qkv_ref.shape[2] // 3
+    d = C // num_heads
+    for hi in range(num_heads):
+        q, k, v = _qkv_slices(qkv_ref, C, d, hi)
+        qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+        s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+        z = jnp.sum(e, axis=-1, keepdims=True)
+        o = jnp.dot(e.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32)
+        o_ref[0, :, hi * d:(hi + 1) * d] = (o / z).astype(o_ref.dtype)
+
+
+def _bwd_kernel_qkv(scale, num_heads, qkv_ref, do_ref, dqkv_ref):
+    C = qkv_ref.shape[2] // 3
+    d = C // num_heads
+    for hi in range(num_heads):
+        q, k, v = _qkv_slices(qkv_ref, C, d, hi)
+        do = do_ref[0, :, hi * d:(hi + 1) * d]
+        qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+        s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        p = _softmax_rows(s)
+        pc = p.astype(v.dtype)
+        dv = jax.lax.dot_general(pc, do, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = ds.astype(q.dtype)
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds, qs, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dt = dqkv_ref.dtype
+        dqkv_ref[0, :, hi * d:(hi + 1) * d] = dq.astype(dt)
+        dqkv_ref[0, :, C + hi * d:C + (hi + 1) * d] = dk.astype(dt)
+        dqkv_ref[0, :, 2 * C + hi * d:2 * C + (hi + 1) * d] = dv.astype(dt)
+
+
+def _qkv_spec(n, c):
+    return pl.BlockSpec((1, n, c), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def mhsa_fused_qkv(qkv, num_heads: int, scale: float,
+                   interpret: bool = False):
+    """Fused MHSA on the raw qkv projection.
+
+    qkv: [B, n, 3C] straight out of the fused qkv Dense (channel order
+    (3, heads, head_dim)); returns [B, n, C] ready for the out-projection.
+    Replaces the reference's unfused qkv reshape + bmm chain
+    (`models/volo.py:185-201`) with one VMEM-resident program per image.
+    """
+    return _qkv_fwd_call(qkv, num_heads, scale, interpret)
+
+
+def _qkv_fwd_call(qkv, num_heads, scale, interpret):
+    B, n, C3 = qkv.shape
+    C = C3 // 3
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_qkv, scale, num_heads),
+        out_shape=jax.ShapeDtypeStruct((B, n, C), qkv.dtype),
+        grid=(B,),
+        in_specs=[_qkv_spec(n, C3)],
+        out_specs=_qkv_spec(n, C),
+        interpret=interpret,
+    )(qkv)
+
+
+def _qkv_fwd(qkv, num_heads, scale, interpret):
+    return _qkv_fwd_call(qkv, num_heads, scale, interpret), (qkv,)
+
+
+def _qkv_bwd(num_heads, scale, interpret, res, g):
+    (qkv,) = res
+    B, n, C3 = qkv.shape
+    C = C3 // 3
+    dqkv = pl.pallas_call(
+        functools.partial(_bwd_kernel_qkv, scale, num_heads),
+        out_shape=jax.ShapeDtypeStruct((B, n, C3), qkv.dtype),
+        grid=(B,),
+        in_specs=[_qkv_spec(n, C3), _qkv_spec(n, C)],
+        out_specs=_qkv_spec(n, C3),
+        interpret=interpret,
+    )(qkv, g)
+    return (dqkv,)
+
+
+mhsa_fused_qkv.defvjp(_qkv_fwd, _qkv_bwd)

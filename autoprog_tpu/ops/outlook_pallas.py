@@ -301,3 +301,84 @@ def _fwd_h(v, attn_logits, num_heads, scale, interpret):
 
 
 outlook_attention_hybrid.defvjp(_fwd_h, _bwd)
+
+
+# --------------------------------------------------------------------------
+# Hybrid v2: the round-1 hybrid isolated `pltpu.repeat` (expanding the
+# per-head attention scalar across its head_dim lanes, 81 per program) as
+# the kernel's bottleneck. Here the head->lane expansion is ONE MXU matmul
+# per window offset against a constant one-hot matrix E[h, c] = [head(c)==h]
+# — the systolic array does the broadcast, the VPU only runs full-width
+# FMAs. Channels stay head-MAJOR (natural layout, no XLA-side permutes).
+#
+# Mosaic shape discipline: the per-offset attention slab [n, 9, heads] is
+# sublane-padded 9 -> 16 so the (n, 16) -> n*16 row merge that feeds the
+# 2-D matmul is tile-aligned for both f32 (8) and bf16 (16) layouts.
+
+
+def _expansion_matrix(num_heads: int, C: int, dtype):
+    d = C // num_heads
+    rows = jax.lax.broadcasted_iota(jnp.int32, (num_heads, C), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (num_heads, C), 1)
+    return (rows == cols // d).astype(dtype)
+
+
+def _attend_kernel_v2(p_ref, a_ref, o_ref, *, scale: float, num_heads: int):
+    """p_ref [1, n, 9, C] (natural head-major), a_ref [1, n, 9, 9, heads],
+    o_ref [1, 9, n, C] (p-major writes, as in the v1 hybrid)."""
+    n, C = p_ref.shape[1], p_ref.shape[3]
+    att = jax.nn.softmax(a_ref[0].astype(jnp.float32) * scale, axis=2)
+    E = _expansion_matrix(num_heads, C, jnp.float32)
+    pf = p_ref[0].astype(jnp.float32)                   # [n, 9, C]
+    for pp in range(9):
+        a_p = jnp.pad(att[:, pp], ((0, 0), (0, 7), (0, 0)))  # [n, 16, h]
+        aexp = jnp.dot(a_p.reshape(n * 16, num_heads), E,
+                       preferred_element_type=jnp.float32)
+        aexp = aexp.reshape(n, 16, C)[:, :9]            # [n, 9, C]
+        o_ref[0, pp] = jnp.sum(aexp * pf, axis=1).astype(o_ref.dtype)
+
+
+def _forward_hybrid2(v, attn_logits, *, num_heads: int, scale: float,
+                     interpret: bool = False):
+    B, H, W, C = v.shape
+    h, w = attn_logits.shape[1], attn_logits.shape[2]
+    n = h * w
+    patches = unfold_nhwc(v, 3, 2, 1).reshape(B, n, 9, C)
+    att = attn_logits.reshape(B, n, num_heads, 9, 9).transpose(0, 1, 3, 4, 2)
+    kern = functools.partial(_attend_kernel_v2, scale=scale,
+                             num_heads=num_heads)
+    av = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, n, 9, C), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 9, 9, num_heads), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 9, n, C), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 9, n, C), v.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(patches, att)
+    av = av.transpose(0, 2, 1, 3).reshape(B, h, w, 3, 3, C)
+    return fold_nhwc(av, (H, W), 3, 2, 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def outlook_attention_hybrid2(v, attn_logits, num_heads: int, scale: float,
+                              interpret: bool = False):
+    """XLA unfold/fold + Pallas attend with MXU one-hot head expansion."""
+    return _forward_hybrid2(v, attn_logits, num_heads=num_heads, scale=scale,
+                            interpret=interpret)
+
+
+def _fwd_h2(v, attn_logits, num_heads, scale, interpret):
+    out = _forward_hybrid2(v, attn_logits, num_heads=num_heads, scale=scale,
+                           interpret=interpret)
+    return out, (v, attn_logits)
+
+
+outlook_attention_hybrid2.defvjp(_fwd_h2, _bwd)

@@ -120,6 +120,61 @@ def main():
             print(f"{name:<30s} FAILED: {type(e).__name__} {e}",
                   file=sys.stderr)
 
+    # --- qkv-level comparison: includes the boundary relayouts the model
+    # actually pays. Input is the raw fused-qkv Dense output [B, n, 3C];
+    # output the natural [B, n, C] the out-projection consumes.
+    qkv = jnp.asarray(rs.randn(B, n, 3 * C), jnp.bfloat16)
+
+    def split_qkv(qkv):
+        qq = qkv.reshape(B, n, 3, heads, d)
+        return (jnp.moveaxis(qq, 2, 0)[i] for i in range(3))
+
+    def qkv_xla_bf16(qkv):
+        q, k, v = split_qkv(qkv)
+        return attn_einsum_bf16(q, k, v).reshape(B, n, C)
+
+    def qkv_old_kernel(qkv):
+        from autoprog_tpu.ops.attention_pallas import mhsa_fused
+        q, k, v = split_qkv(qkv)
+        return mhsa_fused(q, k, v, scale).reshape(B, n, C)
+
+    def qkv_new_kernel(qkv):
+        from autoprog_tpu.ops.attention_pallas import mhsa_fused_qkv
+        return mhsa_fused_qkv(qkv, heads, scale)
+
+    def timeit1(fn):
+        @jax.jit
+        def loop(x):
+            def body(i, acc):
+                return jnp.sum(fn(x + acc * 1e-30).astype(jnp.float32))
+            return jax.lax.fori_loop(0, iters, body, 0.0)
+        float(loop(qkv))
+        t0 = time.perf_counter()
+        float(loop(qkv))
+        return (time.perf_counter() - t0) / iters
+
+    def timeit1_bwd(fn):
+        def loss(x):
+            return jnp.sum(fn(x).astype(jnp.float32) ** 2)
+        g = jax.grad(loss)
+        return timeit1(lambda x: jnp.sum(g(x).astype(jnp.float32))
+                       [None, None, None])
+
+    qkv_variants = {
+        "qkv: xla bf16 logits": qkv_xla_bf16,
+        "qkv: mhsa_fused (boundary)": qkv_old_kernel,
+        "qkv: mhsa_fused_qkv (new)": qkv_new_kernel,
+    } if on_tpu else {}
+    for name, fn in qkv_variants.items():
+        try:
+            t_f = timeit1(fn)
+            t_b = timeit1_bwd(fn)
+            print(f"{name:<30s} fwd {t_f * 1e3:7.2f} ms   fwd+bwd "
+                  f"{t_b * 1e3:7.2f} ms", file=sys.stderr)
+        except Exception as e:
+            print(f"{name:<30s} FAILED: {type(e).__name__} {e}",
+                  file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

@@ -58,9 +58,20 @@ def main():
 
     variants = {"broadcast (default)": functools.partial(
         outlook_attention, **kw)}
-    for g in (4, 7, 14, 28):
-        variants[f"blockdiag g={g}"] = functools.partial(
-            outlook_attention_blockdiag, group=g, **kw)
+    if "--blockdiag" in sys.argv:
+        for g in (4, 7, 14, 28):
+            variants[f"blockdiag g={g}"] = functools.partial(
+                outlook_attention_blockdiag, group=g, **kw)
+    if on_tpu:
+        from autoprog_tpu.ops.outlook_pallas import (
+            outlook_attention_fused, outlook_attention_hybrid,
+            outlook_attention_hybrid2)
+        variants["pallas fused v1 (repeat)"] = (
+            lambda v, a: outlook_attention_fused(v, a, heads, scale))
+        variants["pallas hybrid (repeat)"] = (
+            lambda v, a: outlook_attention_hybrid(v, a, heads, scale))
+        variants["pallas hybrid2 (E-matmul)"] = (
+            lambda v, a: outlook_attention_hybrid2(v, a, heads, scale))
 
     print(f"B={B} H=W={H} C={C} heads={heads}  ({iters} iters)",
           file=sys.stderr)

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Real-data accuracy signal: AutoProg vs fixed-budget training on real
+handwritten digit images (sklearn load_digits — 1,797 genuine scans, 10
+classes; the only real image corpus shipped in this environment).
+
+Mirrors the reference's headline claim (`/root/reference/README.md:13-16`:
+progressive learning cuts wall-clock with no accuracy drop) at the scale
+the environment allows: the SAME model and epoch budget trained (a) fixed
+full-size via main.py and (b) progressively with AutoProg via
+main_prog.py, comparing best top-1 and wall time on a held-out split.
+
+Usage:
+    JAX_PLATFORMS=cpu python scripts/real_data_digits.py [--epochs N]
+
+Writes the ImageFolder tree under output/digits_data/ (gitignored),
+training runs under output/digits_runs/, and prints the comparison table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def materialize(root: str) -> None:
+    """sklearn digits -> ImageFolder tree (64px RGB PNGs, stratified 80/20)."""
+    import numpy as np
+    from PIL import Image
+    from sklearn.datasets import load_digits
+
+    if os.path.exists(os.path.join(root, "DONE")):
+        return
+    shutil.rmtree(root, ignore_errors=True)
+    d = load_digits()
+    images, labels = d.images, d.target  # [N, 8, 8] float 0..16
+    counters = {}
+    for i, (im, y) in enumerate(zip(images, labels)):
+        k = counters.get(int(y), 0)
+        counters[int(y)] = k + 1
+        split = "val" if k % 5 == 4 else "train"  # stratified 80/20
+        cls_dir = os.path.join(root, split, str(int(y)))
+        os.makedirs(cls_dir, exist_ok=True)
+        arr = np.clip(im * 255.0 / 16.0, 0, 255).astype(np.uint8)
+        png = Image.fromarray(arr, mode="L").convert("RGB").resize(
+            (64, 64), Image.NEAREST)
+        png.save(os.path.join(cls_dir, f"{i}.png"))
+    open(os.path.join(root, "DONE"), "w").close()
+
+
+COMMON = [
+    "--num-classes", "10", "--img-size", "64", "-b", "64",
+    "--lr", "1e-3", "--warmup-epochs", "1", "--cooldown-epochs", "0",
+    "--sched", "cosine", "--min-lr", "1e-5", "--weight-decay", "0.05",
+    "--scale", "0.6", "1.0", "--workers", "2", "--seed", "42",
+    "--smoothing", "0.1", "--no-bf16",
+]
+
+
+def run_fixed(data: str, out: str, model: str, epochs: int):
+    from autoprog_tpu.main import main
+    t0 = time.perf_counter()
+    best = main([data, "--model", model, "--epochs", str(epochs),
+                 "--output", out] + COMMON)
+    return best, time.perf_counter() - t0
+
+
+def run_autoprog(data: str, out: str, model: str, epochs: int):
+    from autoprog_tpu.main_prog import main
+    t0 = time.perf_counter()
+    best = main([data, "--model", model, "--epochs", str(epochs),
+                 "--output", out,
+                 "--num-stages", "2", "--r-scale", "0.5",
+                 "--l-scale", "0.5", "--auto-grow",
+                 "--search-epochs", "1", "--search-probe-steps", "2",
+                 "--model-ema", "--model-ema-decay",
+                 "0.9", "0.95", "0.99", "0.995",
+                 "--load-with-clone-ema"] + COMMON)
+    return best, time.perf_counter() - t0
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=12)
+    p.add_argument("--model", default="volo_h2_l4")
+    p.add_argument("--root", default=os.path.join(
+        os.path.dirname(__file__), "..", "output"))
+    args = p.parse_args()
+
+    data = os.path.join(args.root, "digits_data")
+    runs = os.path.join(args.root, "digits_runs")
+    materialize(data)
+
+    fixed_top1, fixed_s = run_fixed(
+        data, os.path.join(runs, "fixed"), args.model, args.epochs)
+    auto_top1, auto_s = run_autoprog(
+        data, os.path.join(runs, "autoprog"), args.model, args.epochs)
+
+    print()
+    print(f"model={args.model} epochs={args.epochs} "
+          f"(real data: sklearn digits, 1437 train / 360 val)")
+    print(f"{'run':<12s} {'best top-1':>10s} {'wall s':>8s}")
+    print(f"{'fixed':<12s} {fixed_top1:>10.2f} {fixed_s:>8.1f}")
+    print(f"{'autoprog':<12s} {auto_top1:>10.2f} {auto_s:>8.1f}")
+    print(f"speedup {fixed_s / auto_s:.2f}x, "
+          f"top-1 delta {auto_top1 - fixed_top1:+.2f}")
+
+
+if __name__ == "__main__":
+    main()

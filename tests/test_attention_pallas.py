@@ -4,7 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from autoprog_tpu.ops.attention_pallas import mhsa_fused
+from autoprog_tpu.ops.attention_pallas import mhsa_fused, mhsa_fused_qkv
 
 
 def xla_mhsa(q, k, v, scale):
@@ -52,3 +52,52 @@ def test_fused_mhsa_grads_match():
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+# -- boundary-free qkv variant ---------------------------------------------
+
+
+def xla_mhsa_qkv(qkv, num_heads, scale):
+    """The exact layers.py path: reshape (n, 3, h, d) + einsum chain."""
+    B, n, C3 = qkv.shape
+    C = C3 // 3
+    d = C // num_heads
+    q, k, v = (jnp.moveaxis(qkv.reshape(B, n, 3, num_heads, d), 2, 0)[i]
+               for i in range(3))
+    return xla_mhsa(q, k, v, scale).reshape(B, n, C)
+
+
+def make_fused_qkv(B=2, n=12, h=3, d=8, seed=0):
+    rs = np.random.RandomState(seed)
+    return jnp.asarray(rs.randn(B, n, 3 * h * d), jnp.float32), d ** -0.5
+
+
+def test_fused_qkv_matches_xla():
+    qkv, scale = make_fused_qkv()
+    ref = xla_mhsa_qkv(qkv, 3, scale)
+    got = mhsa_fused_qkv(qkv, 3, scale, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_fused_qkv_matches_at_volo_shape():
+    qkv, scale = make_fused_qkv(B=1, n=196, h=2, d=32, seed=1)
+    ref = xla_mhsa_qkv(qkv, 2, scale)
+    got = mhsa_fused_qkv(qkv, 2, scale, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_fused_qkv_grads_match():
+    qkv, scale = make_fused_qkv(B=1, n=12, h=2, d=8, seed=2)
+
+    def loss_ref(qkv):
+        return jnp.sum(xla_mhsa_qkv(qkv, 2, scale) ** 2)
+
+    def loss_fused(qkv):
+        return jnp.sum(mhsa_fused_qkv(qkv, 2, scale, True) ** 2)
+
+    gr = jax.grad(loss_ref)(qkv)
+    gf = jax.grad(loss_fused)(qkv)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=2e-4, atol=2e-5)

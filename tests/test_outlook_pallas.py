@@ -61,6 +61,48 @@ def test_fused_gradients_match():
                                rtol=2e-4, atol=2e-5)
 
 
+def test_hybrid2_matches_xla_reference():
+    from autoprog_tpu.ops.outlook_pallas import outlook_attention_hybrid2
+    v, attn, heads, scale = make_inputs(B=2, H=8, W=8, C=16, heads=4, seed=5)
+    ref = outlook_attention(v, attn, num_heads=heads, kernel_size=3,
+                            stride=2, padding=1, scale=scale)
+    got = outlook_attention_hybrid2(v, attn, heads, scale, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5,
+                               atol=2e-6)
+
+
+def test_hybrid2_matches_at_volo_shape():
+    from autoprog_tpu.ops.outlook_pallas import outlook_attention_hybrid2
+    v, attn, heads, scale = make_inputs(B=1, H=16, W=16, C=192, heads=6,
+                                        seed=6)
+    ref = outlook_attention(v, attn, num_heads=heads, kernel_size=3,
+                            stride=2, padding=1, scale=scale)
+    got = outlook_attention_hybrid2(v, attn, heads, scale, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5,
+                               atol=2e-6)
+
+
+def test_hybrid2_gradients_match():
+    from autoprog_tpu.ops.outlook_pallas import outlook_attention_hybrid2
+    v, attn, heads, scale = make_inputs(B=1, H=8, W=8, C=8, heads=2, seed=7)
+
+    def loss_ref(v, a):
+        return jnp.sum(outlook_attention(
+            v, a, num_heads=heads, kernel_size=3, stride=2, padding=1,
+            scale=scale) ** 2)
+
+    def loss_fused(v, a):
+        return jnp.sum(
+            outlook_attention_hybrid2(v, a, heads, scale, True) ** 2)
+
+    gv_r, ga_r = jax.grad(loss_ref, argnums=(0, 1))(v, attn)
+    gv_f, ga_f = jax.grad(loss_fused, argnums=(0, 1))(v, attn)
+    np.testing.assert_allclose(np.asarray(gv_f), np.asarray(gv_r),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ga_f), np.asarray(ga_r),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_blockdiag_matches_xla_reference():
     from autoprog_tpu.ops.outlook import outlook_attention_blockdiag
     # h=w=4 -> n=16 tokens; group=4 divides
