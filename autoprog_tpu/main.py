@@ -101,6 +101,7 @@ def main(argv=None):
     if best_metric is not None:
         _logger.info("*** Best metric: %s (epoch %s)", best_metric,
                      best_epoch)
+    _logger.info("total train time: %.1fs", epoch_time_m.sum)
     return best_metric
 
 

@@ -13,6 +13,7 @@ autodiff-friendly default.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -126,3 +127,79 @@ def outlook_attention(v: jax.Array, attn_logits: jax.Array, *,
     out = out.reshape(B, h, w, k, k, C)
     return fold_nhwc(out, (H, W), kernel_size=k, stride=stride,
                      padding=padding)
+
+
+# -- custom-VJP variant (documented LOSING experiment) -----------------------
+# Hypothesis: XLA's autodiff threads a [B,n,k²,k²,C]-wide cotangent between
+# the sum-VJP and the repeat-VJP, and a hand-written backward that computes
+# d_attn head-grouped would avoid it. MEASURED FALSE on v5e (bench_outlook):
+# fwd+bwd 15.04 ms/layer vs 7.72 for plain autodiff at b=128 — XLA already
+# fuses the reduce into its producer, and the head-grouped einsum
+# ('bnphd,bnqhd->bnhpq', a [9,32]x[32,9] batched matmul per (image, token,
+# head)) is MXU-hostile at this size. Autodiff of the broadcast form is the
+# right answer; kept as a tested record of the experiment (PERF.md).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _outlook_cvjp(v, attn_logits, num_heads, kernel_size, stride, padding,
+                  scale):
+    return outlook_attention(v, attn_logits, num_heads=num_heads,
+                             kernel_size=kernel_size, stride=stride,
+                             padding=padding, scale=scale)
+
+
+def _outlook_cvjp_fwd(v, attn_logits, num_heads, kernel_size, stride,
+                      padding, scale):
+    out = _outlook_cvjp(v, attn_logits, num_heads, kernel_size, stride,
+                        padding, scale)
+    return out, (v, attn_logits)
+
+
+def _outlook_cvjp_bwd(num_heads, kernel_size, stride, padding, scale,
+                      residuals, g):
+    v, attn_logits = residuals
+    B, H, W, C = v.shape
+    k = kernel_size
+    h = math.ceil(H / stride)
+    w = math.ceil(W / stride)
+    d = C // num_heads
+    n = h * w
+    kk = k * k
+
+    patches = unfold_nhwc(v, k, stride, padding).reshape(B, n, kk, C)
+    attn = attn_logits.reshape(B, n, num_heads, kk, kk)
+    attn = _softmax_compute_dtype(attn, scale, v.dtype)   # [B,n,h,p,q]
+
+    # fold's linear adjoint is unfold with the same geometry
+    dav = unfold_nhwc(g, k, stride, padding).reshape(B, n, kk, C)
+
+    # d_attn[b,n,h,p,q] = sum_{d} dav[b,n,p,(h,d)] * patches[b,n,q,(h,d)]
+    dav6 = dav.reshape(B, n, kk, num_heads, d)
+    pat6 = patches.reshape(B, n, kk, num_heads, d)
+    datt = jnp.einsum("bnphd,bnqhd->bnhpq", dav6, pat6,
+                      preferred_element_type=jnp.float32)
+    af = attn.astype(jnp.float32)
+    ds = af * (datt - jnp.sum(datt * af, axis=-1, keepdims=True))
+    dlogits = (ds * scale).astype(attn_logits.dtype)
+    dlogits = dlogits.reshape(B, h, w, num_heads * kk * kk)
+
+    # d_patches: same broadcast-multiply-sum shape as the forward with
+    # (p, q) swapped and dav in place of patches
+    at = attn.transpose(0, 1, 3, 4, 2)                    # [B,n,p,q,heads]
+    at_c = jnp.repeat(at, d, axis=-1)                     # [B,n,p,q,C]
+    dpatches = jnp.sum(at_c * dav[:, :, :, None].astype(at_c.dtype),
+                       axis=2, dtype=jnp.float32).astype(v.dtype)
+    dv = fold_nhwc(dpatches.reshape(B, h, w, k, k, C), (H, W),
+                   kernel_size=k, stride=stride, padding=padding)
+    return dv, dlogits
+
+
+_outlook_cvjp.defvjp(_outlook_cvjp_fwd, _outlook_cvjp_bwd)
+
+
+def outlook_attention_cvjp(v, attn_logits, *, num_heads: int,
+                           kernel_size: int, stride: int, padding: int,
+                           scale: float) -> jax.Array:
+    """`outlook_attention` with the hand-written backward (see above)."""
+    return _outlook_cvjp(v, attn_logits, num_heads, kernel_size, stride,
+                         padding, scale)

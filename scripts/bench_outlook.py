@@ -56,13 +56,16 @@ def main():
     kw = dict(num_heads=heads, kernel_size=3, stride=2, padding=1,
               scale=scale)
 
+    from autoprog_tpu.ops.outlook import outlook_attention_cvjp
     variants = {"broadcast (default)": functools.partial(
-        outlook_attention, **kw)}
+        outlook_attention, **kw),
+        "broadcast custom-vjp": functools.partial(
+        outlook_attention_cvjp, **kw)}
     if "--blockdiag" in sys.argv:
         for g in (4, 7, 14, 28):
             variants[f"blockdiag g={g}"] = functools.partial(
                 outlook_attention_blockdiag, group=g, **kw)
-    if on_tpu:
+    if on_tpu and "--pallas" in sys.argv:
         from autoprog_tpu.ops.outlook_pallas import (
             outlook_attention_fused, outlook_attention_hybrid,
             outlook_attention_hybrid2)

@@ -52,21 +52,48 @@ def materialize(root: str) -> None:
     open(os.path.join(root, "DONE"), "w").close()
 
 
-COMMON = [
-    "--num-classes", "10", "--img-size", "64", "-b", "64",
-    "--lr", "1e-3", "--warmup-epochs", "1", "--cooldown-epochs", "0",
-    "--sched", "cosine", "--min-lr", "1e-5", "--weight-decay", "0.05",
-    "--scale", "0.6", "1.0", "--workers", "2", "--seed", "42",
-    "--smoothing", "0.1", "--no-bf16",
-]
+def common_flags() -> list:
+    """Identical training config for both runs — incl. the reference
+    recipe's 4-decay EMA list (scripts/train.sh uses EMA for the fixed
+    baseline too, so leaving it off one side would skew accuracy)."""
+    import jax
+    flags = [
+        "--num-classes", "10", "--img-size", "64", "-b", "64",
+        "--lr", "1e-3", "--warmup-epochs", "1", "--cooldown-epochs", "0",
+        "--sched", "cosine", "--min-lr", "1e-5", "--weight-decay", "0.05",
+        "--scale", "0.6", "1.0", "--workers", "2", "--seed", "42",
+        "--smoothing", "0.1",
+        "--model-ema", "--model-ema-decay", "0.9", "0.95", "0.99", "0.995",
+    ]
+    if jax.devices()[0].platform == "cpu":
+        flags += ["--no-bf16"]
+    else:
+        # uint8 H2D + in-step normalize: the tunnel moves ~27 MB/s, f32
+        # batches would dominate wall time (PERF.md)
+        flags += ["--uint8-pipe"]
+    return flags
+
+
+def _train_time(out: str) -> float:
+    """Sum of train-epoch wall times from the run log (excludes eval,
+    checkpointing, and between-run compile of eval programs; in-epoch
+    compile stalls still count against the run that causes them)."""
+    import glob
+    import re
+    logs = sorted(glob.glob(os.path.join(out, "train", "*", "log.txt")))
+    if not logs:
+        return float("nan")
+    with open(logs[-1]) as f:
+        m = re.findall(r"total train time: ([0-9.]+)s", f.read())
+    return float(m[-1]) if m else float("nan")
 
 
 def run_fixed(data: str, out: str, model: str, epochs: int):
     from autoprog_tpu.main import main
     t0 = time.perf_counter()
     best = main([data, "--model", model, "--epochs", str(epochs),
-                 "--output", out] + COMMON)
-    return best, time.perf_counter() - t0
+                 "--output", out] + common_flags())
+    return best, time.perf_counter() - t0, _train_time(out)
 
 
 def run_autoprog(data: str, out: str, model: str, epochs: int):
@@ -77,15 +104,13 @@ def run_autoprog(data: str, out: str, model: str, epochs: int):
                  "--num-stages", "2", "--r-scale", "0.5",
                  "--l-scale", "0.5", "--auto-grow",
                  "--search-epochs", "1", "--search-probe-steps", "2",
-                 "--model-ema", "--model-ema-decay",
-                 "0.9", "0.95", "0.99", "0.995",
-                 "--load-with-clone-ema"] + COMMON)
-    return best, time.perf_counter() - t0
+                 "--load-with-clone-ema"] + common_flags())
+    return best, time.perf_counter() - t0, _train_time(out)
 
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--epochs", type=int, default=12)
+    p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--model", default="volo_h2_l4")
     p.add_argument("--root", default=os.path.join(
         os.path.dirname(__file__), "..", "output"))
@@ -95,18 +120,20 @@ def main() -> None:
     runs = os.path.join(args.root, "digits_runs")
     materialize(data)
 
-    fixed_top1, fixed_s = run_fixed(
+    fixed_top1, fixed_s, fixed_tr = run_fixed(
         data, os.path.join(runs, "fixed"), args.model, args.epochs)
-    auto_top1, auto_s = run_autoprog(
+    auto_top1, auto_s, auto_tr = run_autoprog(
         data, os.path.join(runs, "autoprog"), args.model, args.epochs)
 
     print()
     print(f"model={args.model} epochs={args.epochs} "
           f"(real data: sklearn digits, 1437 train / 360 val)")
-    print(f"{'run':<12s} {'best top-1':>10s} {'wall s':>8s}")
-    print(f"{'fixed':<12s} {fixed_top1:>10.2f} {fixed_s:>8.1f}")
-    print(f"{'autoprog':<12s} {auto_top1:>10.2f} {auto_s:>8.1f}")
-    print(f"speedup {fixed_s / auto_s:.2f}x, "
+    print(f"{'run':<12s} {'best top-1':>10s} {'train s':>8s} {'wall s':>8s}")
+    print(f"{'fixed':<12s} {fixed_top1:>10.2f} {fixed_tr:>8.1f} "
+          f"{fixed_s:>8.1f}")
+    print(f"{'autoprog':<12s} {auto_top1:>10.2f} {auto_tr:>8.1f} "
+          f"{auto_s:>8.1f}")
+    print(f"train-time speedup {fixed_tr / auto_tr:.2f}x, "
           f"top-1 delta {auto_top1 - fixed_top1:+.2f}")
 
 

@@ -133,6 +133,30 @@ def test_blockdiag_matches_xla_reference():
                                rtol=2e-4, atol=2e-5)
 
 
+def test_cvjp_variant_matches_autodiff():
+    from autoprog_tpu.ops.outlook import outlook_attention_cvjp
+    v, attn, heads, scale = make_inputs(B=2, H=8, W=8, C=16, heads=4, seed=8)
+    kw = dict(num_heads=heads, kernel_size=3, stride=2, padding=1,
+              scale=scale)
+    ref = outlook_attention(v, attn, **kw)
+    got = outlook_attention_cvjp(v, attn, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+    def loss_ad(v, a):
+        return jnp.sum(outlook_attention(v, a, **kw) ** 2)
+
+    def loss_cv(v, a):
+        return jnp.sum(outlook_attention_cvjp(v, a, **kw) ** 2)
+
+    gv_r, ga_r = jax.grad(loss_ad, argnums=(0, 1))(v, attn)
+    gv_c, ga_c = jax.grad(loss_cv, argnums=(0, 1))(v, attn)
+    np.testing.assert_allclose(np.asarray(gv_c), np.asarray(gv_r),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ga_c), np.asarray(ga_r),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_blockdiag_fallback_when_group_does_not_divide():
     from autoprog_tpu.ops.outlook import outlook_attention_blockdiag
     v, attn, heads, scale = make_inputs(B=1, H=6, W=6, C=8, heads=2, seed=4)
