@@ -175,6 +175,30 @@ class FixedAugDataset:
 # ------------------------- iterable (stream) datasets ----------------------
 
 
+class TTADataset:
+    """Test-time-augmentation expansion: each source sample appears
+    `t` times at adjacent indices, carrying its variant id for
+    `TTAEvalTransform` (data/transforms.py). The eval sampler iterates
+    in order, so the `--tta N` group-averaging in validate.py sees the
+    N views of one image as consecutive rows — the contract the
+    reference assumes of its loader (`/root/reference/main.py:961-964`)."""
+
+    def __init__(self, dataset, t: int):
+        self.dataset = dataset
+        self.t = int(t)
+
+    def __len__(self) -> int:
+        return len(self.dataset) * self.t
+
+    @property
+    def samples(self):
+        return getattr(self.dataset, "samples", [])
+
+    def load(self, i: int):
+        img, label, maps = self.dataset.load(i // self.t)
+        return (img, i % self.t), label, maps
+
+
 class IterableImageDataset:
     """Stream-style dataset protocol (the reference's tfds-iterable branch,
     `prog/dataset.py:79-94` via `timm.create_dataset`): no random access;

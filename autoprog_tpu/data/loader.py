@@ -307,9 +307,14 @@ def create_loader(dataset, *, input_size: int, batch_size: int,
                   num_workers: int = 4, crop_pct: float = 0.96,
                   mixup: Optional[Mixup] = None, seed: int = 42,
                   no_aug: bool = False, process_index: int = 0,
-                  process_count: int = 1) -> Loader:
+                  process_count: int = 1, tta: int = 0) -> Loader:
     """Loader factory mirroring `create_token_label_loader`/`create_loader`
-    call sites (`main_prog.py:640-708`, `main_prog.py:1443-1530`)."""
+    call sites (`main_prog.py:640-708`, `main_prog.py:1443-1530`).
+
+    tta > 1 (eval only): each sample is emitted `tta` times adjacently
+    with deterministic augmentation variants (TTAEvalTransform) — the
+    input pipeline the reference's `--tta` group-averaging assumes but
+    never ships (`/root/reference/main.py:961-964`)."""
     from autoprog_tpu.data.transforms import RandAugment
 
     if is_training and not no_aug:
@@ -319,6 +324,14 @@ def create_loader(dataset, *, input_size: int, batch_size: int,
             rand_augment=RandAugment.from_policy(auto_augment),
             re_prob=re_prob, re_mode=re_mode, re_count=re_count,
             interpolation=interpolation, mean=tuple(mean), std=tuple(std))
+    elif tta and tta > 1:
+        from autoprog_tpu.data.dataset import TTADataset
+        from autoprog_tpu.data.transforms import TTAEvalTransform
+        dataset = TTADataset(dataset, tta)
+        tf = TTAEvalTransform(size=input_size, crop_pct=crop_pct,
+                              interpolation="bicubic" if interpolation in
+                              ("", "random") else interpolation,
+                              mean=tuple(mean), std=tuple(std))
     else:
         tf = EvalTransform(size=input_size, crop_pct=crop_pct,
                            interpolation="bicubic" if interpolation in

@@ -349,3 +349,33 @@ class EvalTransform:
         x = np.asarray(img, np.float32) / 255.0
         return (x - np.asarray(self.mean, np.float32)) / np.asarray(
             self.std, np.float32)
+
+
+@dataclass
+class TTAEvalTransform(EvalTransform):
+    """Deterministic test-time-augmentation variants of the eval protocol.
+
+    The sample arrives as (image, variant) from `TTADataset`
+    (validate.py); variant v selects (crop_pct cycle) x (horizontal
+    flip): v=0 is the standard eval view, v=1 its mirror, v=2/3 a
+    full-image resize and its mirror, then a tighter crop, ... The
+    reference's `--tta N` only *averages* N adjacent loader rows
+    (`/root/reference/main.py:961-964`) and ships no pipeline that emits
+    them; this provides one."""
+
+    def __call__(self, sample) -> np.ndarray:
+        img, v = sample
+        flip = bool(v % 2)
+        cycle = (self.crop_pct, 1.0, max(0.7, self.crop_pct - 0.1))
+        crop = cycle[(v // 2) % len(cycle)]
+        base = EvalTransform(size=self.size, crop_pct=crop,
+                             interpolation=self.interpolation,
+                             mean=self.mean, std=self.std,
+                             emit_uint8=self.emit_uint8)
+        if flip:
+            from autoprog_tpu.data.raw import RawJpeg
+            if isinstance(img, RawJpeg):
+                import io
+                img = Image.open(io.BytesIO(img))
+            img = img.convert("RGB").transpose(Image.FLIP_LEFT_RIGHT)
+        return base(img)

@@ -122,6 +122,11 @@ def validate(args) -> dict:
     step = sb.eval_step()
 
     batch_size = args.batch_size
+    tta = int(args.tta or 0)
+    if tta > 1:
+        # groups must never split across batches: the TTADataset emits t
+        # adjacent views per sample, so keep the batch a multiple of t
+        batch_size = max(tta, (batch_size // tta) * tta)
     while True:
         try:
             loader = create_loader(
@@ -130,35 +135,33 @@ def validate(args) -> dict:
                 crop_pct=args.crop_pct or data_config["crop_pct"],
                 interpolation=data_config["interpolation"],
                 mean=data_config["mean"], std=data_config["std"],
-                num_workers=args.workers)
+                num_workers=args.workers, tta=tta)
             acc = None
             real = _RealLabels(args.real_labels, ds) if args.real_labels \
                 else None
-            sample_idx = 0
+            src_idx = 0
             for i, batch in enumerate(loader):
                 orig_n = int(batch["label"].shape[0])
                 batch = pad_eval_batch(batch, loader.batch_size)
                 batch = shard_batch(mesh, batch)
-                if args.tta and args.tta > 1:
-                    t = args.tta
+                if tta > 1:
                     logits = model.apply(
                         {"params": params, **({"batch_stats": batch_stats}
                                               if batch_stats else {})},
                         batch["image"], train=False)
                     if isinstance(logits, tuple):
                         logits = logits[0]
-                    n = (logits.shape[0] // t) * t
-                    logits = logits[:n].reshape(-1, t, logits.shape[-1]) \
-                        .mean(axis=1)
-                    batch = {"image": batch["image"][:n:t],
-                             "label": batch["label"][:n:t],
-                             "_logits": logits}
-                    m = _metrics_from_logits(logits, batch["label"])
+                    # orig_n (pre-pad) is a multiple of t by construction
+                    logits = logits[:orig_n] \
+                        .reshape(-1, tta, logits.shape[-1]).mean(axis=1)
+                    labels = batch["label"][:orig_n:tta]
+                    m = _metrics_from_logits(logits, labels)
+                    if real is not None:
+                        real.add(src_idx, logits)
+                    src_idx += orig_n // tta
                 else:
                     m = step(params, batch_stats, batch)
-                if real is not None:
-                    logits = batch.get("_logits")
-                    if logits is None:
+                    if real is not None:
                         logits = model.apply(
                             {"params": params,
                              **({"batch_stats": batch_stats}
@@ -166,8 +169,8 @@ def validate(args) -> dict:
                             batch["image"], train=False)
                         if isinstance(logits, tuple):
                             logits = logits[0]
-                    real.add(sample_idx, logits[:orig_n])
-                sample_idx += orig_n
+                        real.add(src_idx, logits[:orig_n])
+                    src_idx += orig_n
                 # device-side accumulation: one D2H readback per epoch,
                 # plus one per log interval for the progress line
                 acc = m if acc is None else jax.tree.map(jnp.add, acc, m)
@@ -197,6 +200,7 @@ def validate(args) -> dict:
         "loss": round(sums["loss_sum"] / n, 4),
         "img_size": img,
         "crop_pct": args.crop_pct or data_config["crop_pct"],
+        "count": int(n),
     }
     if args.real_labels and real is not None:
         result["top1_real"] = round(real.top1, 4)
@@ -220,14 +224,32 @@ def _metrics_from_logits(logits, labels):
 
 class _RealLabels:
     """ImageNet-Real relabeled accuracy (reference uses timm
-    RealLabelsImagenet, `validate.py:175-203`): a JSON list of acceptable
-    label sets per val image in sorted-filename order; images with empty
-    sets are excluded."""
+    RealLabelsImagenet via `dataset.filenames(basename=True)`,
+    `/root/reference/validate.py:186-187`): acceptable label sets are
+    keyed by each sample's actual FILENAME, so the dataset's iteration
+    order — not a sorted-name assumption — drives the lookup. Accepts
+    both JSON forms: a dict {basename: [labels]} or the original
+    real.json list (implicitly ILSVRC2012_val_%08d.JPEG order). Images
+    with empty sets are excluded, as in timm."""
 
     def __init__(self, json_path: str, dataset):
         import json
+        import os as _os
         with open(json_path) as f:
-            self.sets = json.load(f)
+            data = json.load(f)
+        if isinstance(data, dict):
+            by_name = data
+        else:
+            by_name = {f"ILSVRC2012_val_{i + 1:08d}.JPEG": s
+                       for i, s in enumerate(data)}
+        names = [_os.path.basename(p)
+                 for p, _ in getattr(dataset, "samples", [])]
+        if names:
+            self.sets = [by_name.get(nm) or [] for nm in names]
+        elif isinstance(data, list):
+            self.sets = data  # no filenames (synthetic/iterable): by order
+        else:
+            self.sets = []
         self.correct = 0
         self.total = 0
 
