@@ -222,11 +222,17 @@ def mhsa_fused_qkv(qkv, num_heads: int, scale: float,
     (3, heads, head_dim)); returns [B, n, C] ready for the out-projection.
     Replaces the reference's unfused qkv reshape + bmm chain
     (`models/volo.py:185-201`) with one VMEM-resident program per image.
+
+    Multi-chip safe: both pallas_calls carry a custom_partitioning rule
+    that propagates BATCH-dim sharding (the grid dim) and replicates the
+    token/channel dims, so under data-parallel pjit the SPMD partitioner
+    runs the kernel per-shard instead of all-gathering the activations
+    (pallas_call alone is opaque to it).
     """
     return _qkv_fwd_call(qkv, num_heads, scale, interpret)
 
 
-def _qkv_fwd_call(qkv, num_heads, scale, interpret):
+def _qkv_fwd_raw(qkv, num_heads, scale, interpret):
     B, n, C3 = qkv.shape
     C = C3 // 3
     return pl.pallas_call(
@@ -239,15 +245,10 @@ def _qkv_fwd_call(qkv, num_heads, scale, interpret):
     )(qkv)
 
 
-def _qkv_fwd(qkv, num_heads, scale, interpret):
-    return _qkv_fwd_call(qkv, num_heads, scale, interpret), (qkv,)
-
-
-def _qkv_bwd(num_heads, scale, interpret, res, g):
-    (qkv,) = res
+def _qkv_bwd_raw(qkv, g, num_heads, scale, interpret):
     B, n, C3 = qkv.shape
     C = C3 // 3
-    dqkv = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_bwd_kernel_qkv, scale, num_heads),
         out_shape=jax.ShapeDtypeStruct((B, n, C3), qkv.dtype),
         grid=(B,),
@@ -255,7 +256,73 @@ def _qkv_bwd(num_heads, scale, interpret, res, g):
         out_specs=_qkv_spec(n, C3),
         interpret=interpret,
     )(qkv, g)
-    return (dqkv,)
+
+
+def _batch_dim_partition(impl, n_args):
+    """partition/infer callbacks keeping only the dim-0 (batch) sharding."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def _bspec(shape_with_sharding):
+        spec = shape_with_sharding.sharding.spec
+        return spec[0] if len(spec) else None
+
+    def partition(mesh, arg_shapes, result_shape):
+        b = _bspec(arg_shapes[0])
+        row = lambda nd: NamedSharding(
+            mesh, PartitionSpec(b, *([None] * (nd - 1))))
+        in_sh = tuple(row(len(a.shape)) for a in arg_shapes[:n_args])
+        out_sh = row(len(result_shape.shape))
+        return mesh, impl, out_sh, in_sh
+
+    def infer(mesh, arg_shapes, result_shape):
+        b = _bspec(arg_shapes[0])
+        from jax.sharding import NamedSharding as NS, PartitionSpec as P
+        return NS(mesh, P(b, *([None] * (len(result_shape.shape) - 1))))
+
+    return partition, infer
+
+
+@functools.lru_cache(maxsize=None)
+def _qkv_fwd_partitioned(num_heads, scale, interpret):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    def impl(qkv):
+        return _qkv_fwd_raw(qkv, num_heads, scale, interpret)
+
+    cp = custom_partitioning(impl)
+    partition, infer = _batch_dim_partition(impl, 1)
+    cp.def_partition(partition, infer_sharding_from_operands=infer,
+                     sharding_rule="b n c -> b n d",
+                     need_replication_factors=("n", "c", "d"))
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def _qkv_bwd_partitioned(num_heads, scale, interpret):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    def impl(qkv, g):
+        return _qkv_bwd_raw(qkv, g, num_heads, scale, interpret)
+
+    cp = custom_partitioning(impl)
+    partition, infer = _batch_dim_partition(impl, 2)
+    cp.def_partition(partition, infer_sharding_from_operands=infer,
+                     sharding_rule="b n c, b n d -> b n c",
+                     need_replication_factors=("n", "c", "d"))
+    return cp
+
+
+def _qkv_fwd_call(qkv, num_heads, scale, interpret):
+    return _qkv_fwd_partitioned(num_heads, scale, interpret)(qkv)
+
+
+def _qkv_fwd(qkv, num_heads, scale, interpret):
+    return _qkv_fwd_call(qkv, num_heads, scale, interpret), (qkv,)
+
+
+def _qkv_bwd(num_heads, scale, interpret, res, g):
+    (qkv,) = res
+    return (_qkv_bwd_partitioned(num_heads, scale, interpret)(qkv, g),)
 
 
 mhsa_fused_qkv.defvjp(_qkv_fwd, _qkv_bwd)

@@ -85,6 +85,34 @@ def main():
     run_train("stem+post+heads+opt only",
               (tuple([False] * L0), tuple([False] * L1)))
 
+    if "--loss-bisect" in sys.argv:
+        # how much of the stem+post block is the dense token-label loss?
+        args_cls = argparse.Namespace(**{**vars(args), "token_label": False})
+        model_cls = mdef.make(num_classes=1000, img_size=224,
+                              dtype=jnp.bfloat16, return_dense=False,
+                              mix_token=False)
+        vars_cls = jax.jit(lambda: model_cls.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 224, 224, 3)), train=True))()
+        tx_cls = create_optimizer(args_cls, vars_cls["params"])
+        sb_cls = StepBuilder(model=model_cls, tx=tx_cls,
+                             train_loss=build_train_loss(args_cls),
+                             ema_decays=ema_decays, num_classes=1000,
+                             token_label=False, has_token_label_data=False)
+        state_cls = TrainState.create(
+            params=vars_cls["params"],
+            batch_stats=vars_cls["batch_stats"], tx=tx_cls,
+            ema_decays=ema_decays)
+        for name, keep in (
+                ("cls-only full step", None),
+                ("cls-only stem+post+heads+opt",
+                 (tuple([False] * L0), tuple([False] * L1)))):
+            step = sb_cls.train_step(r=224, keep=keep, splits=1)
+            t, state_cls = time_step(step, state_cls, data, 1.6e-3, rng,
+                                     iters=iters)
+            report(name, t)
+
     # optimizer + EMA, isolated: update with grads == params
     @jax.jit
     def opt_only(state, lr):

@@ -88,6 +88,35 @@ def test_fused_qkv_matches_at_volo_shape():
                                rtol=2e-5, atol=2e-6)
 
 
+def test_fused_qkv_shards_over_batch_without_gather():
+    """Under data-parallel pjit the custom_partitioning rule must run the
+    kernel per-shard: results match the unsharded op and the compiled
+    module contains no all-gather of the activations."""
+    import re
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    qkv, scale = make_fused_qkv(B=8, n=12, h=2, d=8, seed=3)
+    devs = np.array(jax.devices()[:8])
+    assert devs.size == 8, "test expects the 8-device CPU mesh"
+    mesh = Mesh(devs, ("data",))
+    sh = NamedSharding(mesh, P("data"))
+    qkv_sharded = jax.device_put(qkv, sh)
+
+    f = jax.jit(lambda x: mhsa_fused_qkv(x, 2, scale, True))
+    ref = f(qkv)
+    got = f(qkv_sharded)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+    txt = f.lower(qkv_sharded).compile().as_text()
+    assert not re.search(r"all-gather", txt), "partitioner gathered qkv"
+
+    g = jax.jit(jax.grad(lambda x: jnp.sum(
+        mhsa_fused_qkv(x, 2, scale, True) ** 2)))
+    np.testing.assert_allclose(np.asarray(g(qkv_sharded)),
+                               np.asarray(g(qkv)), rtol=2e-4, atol=2e-5)
+
+
 def test_fused_qkv_grads_match():
     qkv, scale = make_fused_qkv(B=1, n=12, h=2, d=8, seed=2)
 
