@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""End-to-end host input-pipeline throughput: native C++ decode vs PIL.
+
+Closes the PERF.md open item ("native decode path measured 1.8x PIL per
+worker; not yet benchmarked end-to-end"): drives the REAL Loader
+(fork worker pool + prefetch thread + full train augmentation at 224px)
+over a generated JPEG ImageFolder and reports imgs/s with the fused C++
+decode+crop+resize (`native/fastimage.cpp`) on and off. Compare against
+the TPU step rate (bench.py) to see whether the host pipeline can feed
+the chip. Reference analogue: timm loader + `--workers` processes
+(`/root/reference/main_prog.py:640-708`).
+
+Usage: python scripts/bench_loader.py [--workers N] [--images N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def make_jpeg_folder(root: str, n: int, classes: int = 8,
+                     size=(500, 400)) -> None:
+    from PIL import Image
+    if os.path.exists(os.path.join(root, "DONE")):
+        return
+    rs = np.random.RandomState(0)
+    for i in range(n):
+        c = i % classes
+        d = os.path.join(root, "train", str(c))
+        os.makedirs(d, exist_ok=True)
+        arr = rs.randint(0, 255, (size[1], size[0], 3), np.uint8)
+        Image.fromarray(arr).save(os.path.join(d, f"{i}.jpg"), quality=90)
+    open(os.path.join(root, "DONE"), "w").close()
+
+
+def drive(root: str, *, workers: int, use_native: bool,
+          batch_size: int = 128, img: int = 224,
+          auto_augment: str = "rand-m9-mstd0.5-inc1") -> float:
+    from autoprog_tpu.data.dataset import ImageFolderDataset
+    from autoprog_tpu.data.loader import create_loader
+
+    ds = ImageFolderDataset(os.path.join(root, "train"))
+    ds.use_native = use_native
+    loader = create_loader(
+        ds, input_size=img, batch_size=batch_size, is_training=True,
+        scale=(0.08, 1.0), hflip=0.5, auto_augment=auto_augment,
+        re_prob=0.25, num_workers=workers)
+    loader.set_epoch(0)
+    n = 0
+    # one warmup batch (pool spin-up), then time the rest of the epoch
+    it = iter(loader)
+    next(it)
+    t0 = time.perf_counter()
+    for batch in it:
+        n += batch["label"].shape[0]
+    dt = time.perf_counter() - t0
+    loader.close()
+    return n / dt
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--images", type=int, default=2048)
+    p.add_argument("--root", default="/tmp/bench_loader_data")
+    args = p.parse_args()
+    make_jpeg_folder(args.root, args.images)
+    # interleaved repeats, best-of: page cache, fork-pool spin-up, and
+    # host drift otherwise dominate a single epoch-length measurement
+    configs = [(aug, nat) for aug in ("rand-m9-mstd0.5-inc1", "")
+               for nat in (False, True)]
+    best = {c: 0.0 for c in configs}
+    for _ in range(args.repeats):
+        for c in configs:
+            aug, nat = c
+            best[c] = max(best[c], drive(args.root, workers=args.workers,
+                                         use_native=nat, auto_augment=aug))
+    for (aug, nat), rate in best.items():
+        name = "native C++" if nat else "PIL"
+        aug_s = aug or "no-randaug"
+        print(f"{name:<10s} {aug_s:<22s} workers={args.workers}: "
+              f"{rate:7.1f} img/s (best of {args.repeats})", flush=True)
+
+
+if __name__ == "__main__":
+    main()
