@@ -116,6 +116,38 @@ def test_deit_variant_and_depth_mask():
     assert not np.allclose(np.asarray(full), np.asarray(sub))
 
 
+def test_volo_family_arch_and_param_parity():
+    """All five D-variants match the reference's tables (layers/dims/heads
+    from `/root/reference/models/volo.py:697-821`) and land at the paper's
+    param counts (D1 27M / D2 59M / D3 86M / D4 193M / D5 296M).
+    eval_shape keeps even D5 free to audit."""
+    expect = {
+        "volo_d1": ((4, 4, 8, 2), (192, 384, 384, 384), (6, 12, 12, 12),
+                    26.6e6),
+        "volo_d2": ((6, 4, 10, 4), (256, 512, 512, 512), (8, 16, 16, 16),
+                    58.7e6),
+        "volo_d3": ((8, 8, 16, 4), (256, 512, 512, 512), (8, 16, 16, 16),
+                    86.3e6),
+        "volo_d4": ((8, 8, 16, 4), (384, 768, 768, 768), (12, 16, 16, 16),
+                    193e6),
+        "volo_d5": ((12, 12, 20, 4), (384, 768, 768, 768), (12, 16, 16, 16),
+                    296e6),
+    }
+    for name, (layers, dims, heads, n_expect) in expect.items():
+        mdef = create_model(name)
+        assert tuple(mdef.arch.layers) == layers, name
+        assert tuple(mdef.arch.embed_dims) == dims, name
+        assert tuple(mdef.arch.num_heads) == heads, name
+        model = mdef.make(num_classes=1000, img_size=224,
+                          dtype=jnp.float32)
+        x = jnp.zeros((1, 224, 224, 3))
+        variables = jax.eval_shape(lambda m=model: m.init(
+            {"params": jax.random.PRNGKey(0)}, x, train=False))
+        n = sum(np.prod(v.shape)
+                for v in jax.tree.leaves(variables["params"]))
+        assert abs(n - n_expect) / n_expect < 0.10, f"{name}: {n / 1e6:.1f}M"
+
+
 def test_volo_d1_param_count():
     """VOLO-D1 should land at ~27M params (reference models/volo.py:700)."""
     mdef = create_model("volo_d1")
