@@ -16,3 +16,24 @@ def apply_platform_env() -> None:
     if plats:
         import jax
         jax.config.update("jax_platforms", plats)
+    enable_compilation_cache()
+
+
+def enable_compilation_cache(path: str = "") -> None:
+    """Persistent XLA compilation cache (reference analogue: cuDNN
+    autotune cache + torch.compile caches). First compiles of the VOLO
+    programs cost 20-40 s each through the TPU tunnel and recur on every
+    process start; the persistent cache makes warm starts ~instant.
+    Opt out with AUTOPROG_NO_COMPILE_CACHE=1."""
+    if os.environ.get("AUTOPROG_NO_COMPILE_CACHE") == "1":
+        return
+    path = path or os.environ.get(
+        "AUTOPROG_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/autoprog_tpu/xla"))
+    try:
+        import jax
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass  # cache is an optimization, never a failure mode

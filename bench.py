@@ -58,6 +58,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from autoprog_tpu.platform import enable_compilation_cache
+    enable_compilation_cache()
+
     from autoprog_tpu.losses import build_train_loss
     from autoprog_tpu.prog.depth import elastic_keep_masks
     from autoprog_tpu.registry import create_model
