@@ -119,3 +119,22 @@ def test_tp_with_progressive_growth():
     step = ctx.sb.train_step(r=32, splits=1)
     ctx.state, m = step(ctx.state, batch, 1e-3, jax.random.PRNGKey(0))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_tp_forces_fused_attn_off(monkeypatch, tmp_path):
+    """The fused MHSA kernel is opaque to the SPMD partitioner for the
+    head-sharded axis, so engine.setup must force the default-on flag off
+    under tensor parallelism (engine.py) even if the user exported it."""
+    import os
+
+    from autoprog_tpu import engine
+    from autoprog_tpu.config import parse_args
+
+    monkeypatch.setenv("AUTOPROG_FUSED_ATTN", "1")
+    args, text = parse_args([
+        "synthetic://", "--model", "deit_h2_l2", "--num-classes", "8",
+        "--img-size", "32", "-b", "16", "--workers", "0", "--no-bf16",
+        "--model-parallel", "2", "--fake-data-size", "32"], prog=False)
+    ctx = engine.setup(args, text, prog=False, output_dir=str(tmp_path))
+    assert os.environ["AUTOPROG_FUSED_ATTN"] == "0"
+    assert ctx.mesh.shape[MODEL_AXIS] == 2
