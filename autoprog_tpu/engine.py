@@ -443,14 +443,16 @@ def create_stage_model_and_state(ctx: TrainContext, new_model_name: str, *,
     elif load == "super":
         super_l = prev_l
         dst_l = sum(new_layers)
+        fam = getattr(ctx.mdef.arch, "family", "volo")
         new_params = shrink_params(
             prev_state.params, template, base_layers=new_layers,
             super_layers=prev_layers, dst_layers=new_layers,
-            base_l=origin_l, super_l=super_l, dst_l=dst_l)
+            base_l=origin_l, super_l=super_l, dst_l=dst_l, family=fam)
         new_ema = tuple(
             shrink_params(e, template, base_layers=new_layers,
                           super_layers=prev_layers, dst_layers=new_layers,
-                          base_l=origin_l, super_l=super_l, dst_l=dst_l)
+                          base_l=origin_l, super_l=super_l, dst_l=dst_l,
+                          family=fam)
             for e in prev_state.ema_params)
     elif load == "":
         return  # fresh init (resume path fills weights afterwards)

@@ -68,7 +68,8 @@ def auto_grow(ctx, *, search_r, search_h, search_l, current_dp, current_aa,
                 epoch_time_m=epoch_time_m, re_prob=current_re)
         # evaluate the smallest sub-config + EMAs (`main_prog.py:1639-1662`)
         from autoprog_tpu.prog.depth import elastic_keep_masks
-        keep = elastic_keep_masks(l_min, l_min, l_max)
+        keep = elastic_keep_masks(l_min, l_min, l_max,
+                                  getattr(ctx.mdef.arch, "family", "volo"))
         eval_metrics, names = engine.evaluate_all(ctx, loader_eval, keep=keep)
         if ctx.is_primary and output_dir:
             update_summary(search_epoch, train_metrics, eval_metrics,

@@ -192,7 +192,8 @@ def train_one_epoch_super(ctx, epoch: int, loader, loader_search, *,
     args = ctx.args
     sampler = np.random.RandomState(epoch)  # identical on every host
     l_min, l_max = l_list[0], l_list[-1]
-    keep_of = {l: elastic_keep_masks(l, l_min, l_max) for l in l_list}
+    fam = getattr(ctx.mdef.arch, "family", "volo")
+    keep_of = {l: elastic_keep_masks(l, l_min, l_max, fam) for l in l_list}
     lr = ctx.schedule.fn(epoch)
     loader.set_epoch(epoch)
     losses_m = [[SmoothMeter() for _ in l_list] for _ in r_list]

@@ -51,26 +51,35 @@ def volo_depth_split(l: int) -> Tuple[int, int]:
     return 1, 1
 
 
-def elastic_keep_masks(layer_num: int, min_layer_num: int,
-                       max_layer_num: int) -> Tuple[Tuple[bool, ...], Tuple[bool, ...]]:
-    """Per-layer keep masks for a VOLO supernet built at `max_layer_num`
-    when sampling a sub-network of depth `layer_num`.
+def family_depth_split(l: int, family: str = "volo") -> Tuple[int, ...]:
+    """Per-stage depth split for a model family: VOLO's two populated
+    stages (outlooker + transformer) or DeiT's single transformer stage.
+    The reference only wires its elastic machinery for VOLO
+    (`models/volo.py:598-616`); the DeiT path here extends the identical
+    rule to single-stage ViTs (blocks named s0b{i}, models/vit.py)."""
+    if family == "deit":
+        return (l,)
+    return volo_depth_split(l)
 
-    Returns (outlooker_keep, transformer_keep) boolean tuples of length
-    (l0_max, l_max - l0_max). A False entry means the layer runs as
-    identity. Mirrors `VOLO.set_sample_config` (`models/volo.py:598-616`):
-    the skip set per stage is the list of "new" layers going min->max,
-    minus the last (layer_num - min_layer_num) entries which stay active.
+
+def elastic_keep_masks(layer_num: int, min_layer_num: int,
+                       max_layer_num: int,
+                       family: str = "volo") -> Tuple[Tuple[bool, ...], ...]:
+    """Per-layer keep masks for a supernet built at `max_layer_num` when
+    sampling a sub-network of depth `layer_num`.
+
+    Returns one boolean keep tuple per populated stage (VOLO: two —
+    outlooker + transformer; DeiT: one). A False entry means the layer
+    runs as identity. Mirrors `VOLO.set_sample_config`
+    (`models/volo.py:598-616`): the skip set per stage is the list of
+    "new" layers going min->max, minus the last
+    (layer_num - min_layer_num) entries which stay active.
     """
-    l0 = volo_depth_split(layer_num)[0]
-    l0_min, l1_min = volo_depth_split(min_layer_num)
-    l0_max, l1_max = volo_depth_split(max_layer_num)
-    stages = [  # (sampled, min, max) per real stage
-        (l0, l0_min, l0_max),
-        (layer_num - l0, l1_min, l1_max),
-    ]
+    split_s = family_depth_split(layer_num, family)
+    split_mn = family_depth_split(min_layer_num, family)
+    split_mx = family_depth_split(max_layer_num, family)
     masks = []
-    for l_s, l_mn, l_mx in stages:
+    for l_s, l_mn, l_mx in zip(split_s, split_mn, split_mx):
         new_layers = get_new_layer_idx(prev_l=l_mn, new_l=l_mx)
         extra = l_s - l_mn
         skip = new_layers if extra == 0 else new_layers[:-extra] if extra > 0 else new_layers
@@ -79,17 +88,19 @@ def elastic_keep_masks(layer_num: int, min_layer_num: int,
                 f"sampled depth {l_s} below supernet minimum {l_mn}")
         keep = tuple(i not in skip for i in range(l_mx))
         masks.append(keep)
-    return masks[0], masks[1]
+    return tuple(masks)
 
 
-def full_keep_masks(layer_num: int) -> Tuple[Tuple[bool, ...], Tuple[bool, ...]]:
+def full_keep_masks(layer_num: int,
+                    family: str = "volo") -> Tuple[Tuple[bool, ...], ...]:
     """Keep masks with every layer active, for a standalone model of depth
     `layer_num`."""
-    l0, l1 = volo_depth_split(layer_num)
-    return tuple([True] * l0), tuple([True] * l1)
+    return tuple(tuple([True] * l)
+                 for l in family_depth_split(layer_num, family))
 
 
-def super_select_indices(base_l: int, super_l: int, target_l: int) -> Tuple[List[int], List[int]]:
+def super_select_indices(base_l: int, super_l: int, target_l: int,
+                         family: str = "volo") -> Tuple[List[int], ...]:
     """Which supernet layer indices a shrunk standalone model of depth
     `target_l` takes its weights from, per stage.
 
@@ -97,11 +108,11 @@ def super_select_indices(base_l: int, super_l: int, target_l: int) -> Tuple[List
     computed from (base_l -> super_l) growth, keeping the last
     (target_l - base_l) new layers.
     """
-    l0_b, l1_b = volo_depth_split(base_l)
-    l0_s, l1_s = volo_depth_split(super_l)
-    l0_t = volo_depth_split(target_l)[0]
+    split_b = family_depth_split(base_l, family)
+    split_s = family_depth_split(super_l, family)
+    split_t = family_depth_split(target_l, family)
     out: List[List[int]] = []
-    for l_b, l_sup, l_t in ((l0_b, l0_s, l0_t), (l1_b, l1_s, target_l - l0_t)):
+    for l_b, l_sup, l_t in zip(split_b, split_s, split_t):
         if l_sup <= l_b:
             out.append(list(range(l_t)))
             continue
@@ -117,4 +128,4 @@ def super_select_indices(base_l: int, super_l: int, target_l: int) -> Tuple[List
         if len(no_skip) != l_t:
             raise AssertionError(f"{len(no_skip)} != {l_t}")
         out.append(no_skip)
-    return out[0], out[1]
+    return tuple(out)

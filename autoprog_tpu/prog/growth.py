@@ -312,11 +312,12 @@ def grow_params(src_params, dst_template, *, src_layers: Sequence[int],
 
 def shrink_params(super_params, dst_template, *, base_layers: Sequence[int],
                   super_layers: Sequence[int], dst_layers: Sequence[int],
-                  base_l: int, super_l: int, dst_l: int):
+                  base_l: int, super_l: int, dst_l: int,
+                  family: str = "volo"):
     """Select a standalone sub-model's params out of a supernet
     (`load_super`, `prog/helpers.py:752-785`): per stage, keep the
     non-skip layer indices derived from the (base -> super) growth."""
-    sel = super_select_indices(base_l, super_l, dst_l)
+    sel = super_select_indices(base_l, super_l, dst_l, family)
     src_flat = flatten_dict(super_params)
 
     def path_map(path):

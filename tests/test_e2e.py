@@ -130,3 +130,23 @@ def test_main_prog_autogrow_full_pipeline(tmp_path):
     import glob as g
     assert g.glob(str(tmp_path / "train" / "*" / "last-search.ckpt"))
     assert g.glob(str(tmp_path / "train" / "*" / "last.ckpt"))
+
+
+def test_main_prog_autogrow_deit(tmp_path):
+    """The auto-grow supernet machinery on the SECOND model family:
+    DeiT's single transformer stage takes a 1-tuple keep mask
+    (family_depth_split) where VOLO takes two. Regression test for the
+    round-2 crash (vit.py keep-length assert) found by running the
+    real-data harness with --model deit_h4_l6."""
+    from autoprog_tpu.main_prog import main
+    best = main([
+        "synthetic://", "--model", "deit_h2_l4", "--num-classes", "8",
+        "-b", "16", "--warmup-epochs", "1", "--cooldown-epochs", "0",
+        "--lr", "1e-3", "--workers", "0", "--fake-data-size", "64",
+        "--no-bf16", "--img-size", "32", "--epochs", "4",
+        "--num-stages", "2", "--r-scale", "0.5", "--l-scale", "0.5",
+        "--drop-path", "0.0", "--auto-grow", "--search-epochs", "1",
+        "--search-probe-steps", "2", "--load-with-clone-ema",
+        "--model-ema", "--model-ema-decay", "0.9", "0.95", "0.99", "0.995",
+        "--output", str(tmp_path)])
+    assert best is not None
