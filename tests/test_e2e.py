@@ -150,3 +150,21 @@ def test_main_prog_autogrow_deit(tmp_path):
         "--model-ema", "--model-ema-decay", "0.9", "0.95", "0.99", "0.995",
         "--output", str(tmp_path)])
     assert best is not None
+
+
+def test_validate_model_all_sweep(monkeypatch):
+    """`validate.py --model all` sweeps every registered model (reference
+    `/root/reference/validate.py:282-297`), surviving per-model failures
+    and ranking results by top-1. Registry patched down to two models to
+    keep the sweep fast."""
+    import autoprog_tpu.registry as registry
+    from autoprog_tpu import validate as V
+
+    monkeypatch.setattr(registry, "list_models",
+                        lambda: ["deit_h2_l2", "volo_h2_l2"])
+    res = V.main(["synthetic://", "--model", "all", "--num-classes", "8",
+                  "--img-size", "32", "-b", "8", "--workers", "0",
+                  "--fake-data-size", "16", "--no-bf16"])
+    assert len(res) == 2
+    assert {r["model"] for r in res} == {"deit_h2_l2", "volo_h2_l2"}
+    assert res[0]["top1"] >= res[1]["top1"]  # ranked
