@@ -168,3 +168,30 @@ def test_validate_model_all_sweep(monkeypatch):
     assert len(res) == 2
     assert {r["model"] for r in res} == {"deit_h2_l2", "volo_h2_l2"}
     assert res[0]["top1"] >= res[1]["top1"]  # ranked
+
+
+def test_main_prog_finetune_from_checkpoint(tmp_path):
+    """--finetune wires pretrained loading into the progressive trainer
+    (reference `/root/reference/main_prog.py:433-438`): stage-0 starts
+    from a fixed-training checkpoint of a smaller setup; missing blocks
+    keep their init and are grown later."""
+    from autoprog_tpu.main import main as main_fixed
+    from autoprog_tpu.main_prog import main as main_prog
+
+    main_fixed([
+        "synthetic://", "--model", "volo_h2_l2", "--num-classes", "8",
+        "-b", "16", "--epochs", "1", "--warmup-epochs", "0",
+        "--cooldown-epochs", "0", "--workers", "0",
+        "--fake-data-size", "32", "--no-bf16", "--img-size", "32",
+        "--output", str(tmp_path / "pre")])
+    import glob as g
+    ckpt = g.glob(str(tmp_path / "pre" / "train" / "*" / "last.ckpt"))[0]
+    best = main_prog([
+        "synthetic://", "--model", "volo_h2_l4", "--num-classes", "8",
+        "-b", "16", "--epochs", "2", "--warmup-epochs", "0",
+        "--cooldown-epochs", "0", "--workers", "0",
+        "--fake-data-size", "32", "--no-bf16", "--img-size", "32",
+        "--num-stages", "2", "--r-scale", "1.0", "--l-scale", "0.5",
+        "--drop-path", "0.0", "--load-with-clone",
+        "--finetune", ckpt, "--output", str(tmp_path / "ft")])
+    assert best is not None
