@@ -27,9 +27,15 @@ def enable_compilation_cache(path: str = "") -> None:
     Opt out with AUTOPROG_NO_COMPILE_CACHE=1."""
     if os.environ.get("AUTOPROG_NO_COMPILE_CACHE") == "1":
         return
-    path = path or os.environ.get(
-        "AUTOPROG_COMPILE_CACHE",
-        os.path.expanduser("~/.cache/autoprog_tpu/xla"))
+    if not path:
+        # one cache dir per requested platform: under the remote-compile
+        # tunnel, CPU AOT results can be compiled with machine features
+        # that differ from the local host's (XLA warns about potential
+        # SIGILL when loading them) — keep cpu/tpu entries apart
+        plat = os.environ.get("JAX_PLATFORMS", "").strip() or "default"
+        path = os.environ.get(
+            "AUTOPROG_COMPILE_CACHE",
+            os.path.expanduser(f"~/.cache/autoprog_tpu/xla-{plat}"))
     try:
         import jax
         os.makedirs(path, exist_ok=True)
