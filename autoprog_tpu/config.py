@@ -227,6 +227,12 @@ def build_parser(prog: bool = False) -> argparse.ArgumentParser:
                        help="grow weights by clone+noise remapping")
         g.add_argument("--load-with-clone-ema", default=False, action="store_true",
                        help="grow weights by stitching >=4 EMA trees")
+        g.add_argument("--grow-mode", default="",
+                       choices=["", "clone", "clone_noise", "clone_ema",
+                                "clone_rand", "slice", "zero"],
+                       help="explicit growth remapping mode; overrides the "
+                            "--load-with-clone* flags (reference library "
+                            "modes, prog/helpers.py:121-746)")
         g.add_argument("--batch-splits-list", type=int, nargs="+", default=[1])
         g.add_argument("--auto-grow", default=False, action="store_true")
         g.add_argument("--search-epochs", type=int, default=1)

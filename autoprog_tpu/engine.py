@@ -419,7 +419,24 @@ def create_stage_model_and_state(ctx: TrainContext, new_model_name: str, *,
     stats_template = ctx.state.batch_stats
 
     if load == "slice":
-        if args.load_with_clone_ema and len(prev_state.ema_params) > 3:
+        explicit = getattr(args, "grow_mode", "")
+        if explicit:
+            _logger.info("growing model with explicit mode %r", explicit)
+            kw = {}
+            if explicit == "clone_ema":
+                if len(prev_state.ema_params) <= 3:
+                    raise SystemExit("--grow-mode clone_ema needs >= 4 EMA "
+                                     "decays (`prog/helpers.py:616`)")
+                kw = dict(ema_trees=list(prev_state.ema_params[:3]))
+                src = prev_state.ema_params[3]
+            else:
+                src = prev_state.params
+            if explicit == "clone_noise":
+                kw = dict(rng=jax.random.fold_in(ctx.rng, 777))
+            new_params = grow_params(src, template, src_layers=prev_layers,
+                                     dst_layers=new_layers, mode=explicit,
+                                     **kw)
+        elif args.load_with_clone_ema and len(prev_state.ema_params) > 3:
             _logger.info("growing model with clone-ema stitching")
             new_params = grow_params(
                 prev_state.ema_params[3], template,

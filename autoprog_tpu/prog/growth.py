@@ -8,9 +8,14 @@ shape template of the destination (from `jax.eval_shape` of init) — no
 modules, no mutation, jit-friendly.
 
 Modes (reference function in parentheses):
-  * "slice"       top-left block copy into fresh init (load_slice :121;
-                  self-documented as broken for fused qkv — kept for parity,
-                  not the default);
+  * "slice"       top-left block copy into fresh init, same-name layers
+                  only — NO depth interpolation; layers beyond the source
+                  depth keep their fresh init (load_slice :121;
+                  self-documented as broken for fused qkv — kept for
+                  parity, not the default);
+  * "clone_rand"  depth interpolation + top-left slice copy; new width
+                  channels keep the fresh random init
+                  (load_slice_clone_rand :183);
   * "zero"        top-left copy into zeros (load_slice_clone_zero :265);
   * "clone"       width growth by channel tiling with 1/scale input
                   compensation and per-projection qkv/kv tiling
@@ -213,9 +218,9 @@ def _remap_tree(src_flat: Dict, dst_template, *, path_map, mode: str,
             stable = zlib.crc32("/".join(sp).encode()) & 0x7FFFFFFF
             leaf_key = jax.random.fold_in(rng, stable)
         name = path[-1]
-        if mode in ("slice", "zero"):
-            base = tmpl if mode == "slice" else jnp.zeros(dst_shape,
-                                                          tmpl.dtype)
+        if mode in ("slice", "clone_rand", "zero"):
+            base = jnp.zeros(dst_shape, tmpl.dtype) if mode == "zero" \
+                else tmpl
             sl = tuple(slice(0, s) for s in src.shape)
             out[path] = base.at[sl].set(src.astype(tmpl.dtype))
             continue
@@ -302,8 +307,15 @@ def grow_params(src_params, dst_template, *, src_layers: Sequence[int],
     src_flat = flatten_dict(src_params)
     ema_flats = [flatten_dict(t) for t in ema_trees] if ema_trees else None
 
-    def path_map(p):
-        return _depth_mapped_path(p, src_layers, dst_layers)
+    if mode == "slice":
+        # load_slice matches modules by NAME only — new depth layers have
+        # no source and keep their fresh init (`prog/helpers.py:127`,
+        # contrast the `new_idx` remap in clone_rand :192-197)
+        def path_map(p):
+            return p
+    else:
+        def path_map(p):
+            return _depth_mapped_path(p, src_layers, dst_layers)
 
     return _remap_tree(src_flat, dst_template, path_map=path_map, mode=mode,
                        ema_flats=ema_flats, rng=rng,

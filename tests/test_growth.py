@@ -146,6 +146,73 @@ def test_zero_mode_zeroes_new_channels():
             np.testing.assert_allclose(np.asarray(big)[mask], 0.0)
 
 
+def test_clone_rand_slices_source_keeps_fresh_init():
+    """`load_slice_clone_rand` (`prog/helpers.py:183-253`): depth
+    interpolation + top-left slice copy; new width channels keep the
+    destination's fresh random init."""
+    _, _, sv = init_params("deit_h2_l2")
+    _, _, bv = init_params("deit_h4_l4", seed=1)
+    grown = grow_params(sv["params"], bv["params"], src_layers=(2,),
+                        dst_layers=(4,), mode="clone_rand")
+    flat_s = dict(jax.tree_util.tree_flatten_with_path(sv["params"])[0])
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(bv["params"])[0])
+    flat_g = dict(jax.tree_util.tree_flatten_with_path(grown)[0])
+    from autoprog_tpu.prog.depth import depth_source_index
+
+    def src_path(path):
+        # s0b{i} -> s0b{depth_source_index(i, 2, 4)}
+        out = []
+        for k in path:
+            key = getattr(k, "key", "")
+            if key.startswith("s0b"):
+                i = int(key[3:])
+                out.append(type(k)(f"s0b{depth_source_index(i, 2, 4)}"))
+            else:
+                out.append(k)
+        return tuple(out)
+
+    checked_new = 0
+    for path, big in flat_g.items():
+        small = flat_s[src_path(path)]
+        sl = tuple(slice(0, s) for s in small.shape)
+        # source channels preserved in the top-left corner
+        np.testing.assert_allclose(np.asarray(big[sl]), np.asarray(small),
+                                   rtol=1e-6)
+        if big.size > small.size:
+            mask = np.ones(big.shape, bool)
+            mask[sl] = False
+            new_part = np.asarray(big)[mask]
+            tmpl_part = np.asarray(flat_b[path])[mask]
+            # new channels are the fresh init (rand), not zeros/clones
+            np.testing.assert_allclose(new_part, tmpl_part, rtol=1e-6)
+            checked_new += 1
+    assert checked_new > 0
+
+
+def test_slice_mode_no_depth_interpolation():
+    """`load_slice` (`prog/helpers.py:121-181`) matches by name only:
+    depth-new layers keep their fresh init entirely."""
+    _, _, sv = init_params("deit_h2_l2")
+    _, _, bv = init_params("deit_h2_l4", seed=1)
+    grown = grow_params(sv["params"], bv["params"], src_layers=(2,),
+                        dst_layers=(4,), mode="slice")
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(bv["params"])[0])
+    flat_s = dict(jax.tree_util.tree_flatten_with_path(sv["params"])[0])
+    flat_g = dict(jax.tree_util.tree_flatten_with_path(grown)[0])
+    for path, big in flat_g.items():
+        keys = [getattr(k, "key", "") for k in path]
+        blk = next((k for k in keys if k.startswith("s0b")), None)
+        if blk is not None and int(blk[3:]) >= 2:
+            # layer index beyond the source depth: untouched fresh init
+            np.testing.assert_allclose(np.asarray(big),
+                                       np.asarray(flat_b[path]), rtol=1e-6)
+        elif path in flat_s:
+            small = flat_s[path]
+            sl = tuple(slice(0, s) for s in small.shape)
+            np.testing.assert_allclose(np.asarray(big[sl]),
+                                       np.asarray(small), rtol=1e-6)
+
+
 def test_super_shrink_equals_masked_supernet():
     """`load_super` contract (SURVEY §4.3): standalone model built from
     supernet weights == supernet with the matching keep-mask."""
