@@ -219,19 +219,25 @@ class IterableImageDataset:
 
 
 class TFRecordImageDataset(IterableImageDataset):
-    """ImageNet-style TFRecord shards via a minimal tf.data read pipeline
-    (record IO + shuffle in C++; decode/augment stay in the Loader's
-    worker pool, which receives the raw JPEG bytes).
+    """ImageNet-style TFRecord shards via the dependency-free direct
+    reader (data/tfrecord.py): record framing + a minimal tf.Example
+    field scanner, no TF import. Decode/augment stay in the Loader's
+    worker pool, which receives the raw JPEG bytes.
 
     Expects tf.Example features `image/encoded` (JPEG bytes) and
     `image/class/label` (int64); `label_offset` handles the 1-based
-    labels of the classic ImageNet TFRecords. Pickles cleanly (holds only
-    file names + params; the tf.data pipeline is built per epoch)."""
+    labels of the classic ImageNet TFRecords. Pickles cleanly (holds
+    only file names + params)."""
 
     def __init__(self, root: str, split: str = "train",
                  is_training: bool = False, seed: int = 42,
                  num_samples: int = 0, label_offset: int = 0,
-                 shuffle_buffer: int = 8192):
+                 shuffle_buffer: int = 1024):
+        # shuffle_buffer counts RECORDS (~100-200 KB of encoded JPEG
+        # each): 8192 was a ~1-2 GB resident buffer whose fill/memory
+        # pressure cut record supply ~6x (measured, scripts/bench_loader
+        # --tfrecord); 1024 + file-order shuffling keeps randomness with a
+        # ~100-200 MB buffer
         import glob as _glob
         pats = [os.path.join(root, f"{split}*"),
                 os.path.join(root, split, "*")]
@@ -253,34 +259,50 @@ class TFRecordImageDataset(IterableImageDataset):
 
     def __len__(self) -> int:
         if not self._num_samples:
-            # one-time count (record IO only, no decode); cached
-            import tensorflow as tf
-            n = 0
-            for _ in tf.data.TFRecordDataset(self.files):
-                n += 1
-            self._num_samples = n
+            # one-time count (record framing only, no parse); cached
+            from autoprog_tpu.data.tfrecord import read_records
+            self._num_samples = sum(
+                1 for f in self.files for _ in read_records(f))
         return self._num_samples
 
     def iter_samples(self, epoch: int, shard_index: int, shard_count: int):
-        import tensorflow as tf
         from autoprog_tpu.data.raw import RawJpeg
-        files = tf.data.Dataset.from_tensor_slices(self.files)
+        from autoprog_tpu.data.tfrecord import read_records, scan_example
+
+        files = list(self.files)
+        rng = np.random.RandomState(self.seed + epoch)
         if self.is_training:
-            files = files.shuffle(len(self.files), seed=self.seed + epoch,
-                                  reshuffle_each_iteration=False)
-        files = files.shard(shard_count, shard_index)
-        ds = files.interleave(tf.data.TFRecordDataset, cycle_length=4,
-                              num_parallel_calls=tf.data.AUTOTUNE,
-                              deterministic=True)
-        if self.is_training and self.shuffle_buffer:
-            ds = ds.shuffle(self.shuffle_buffer, seed=self.seed + epoch,
-                            reshuffle_each_iteration=False)
-        spec = {"image/encoded": tf.io.FixedLenFeature([], tf.string),
-                "image/class/label": tf.io.FixedLenFeature([], tf.int64)}
-        for rec in ds.as_numpy_iterator():
-            ex = tf.io.parse_single_example(rec, spec)
-            label = int(ex["image/class/label"].numpy()) + self.label_offset
-            yield RawJpeg(bytes(ex["image/encoded"].numpy())), label, None
+            rng.shuffle(files)
+        files = files[shard_index::shard_count]
+
+        def emit(rec):
+            enc, lab = scan_example(rec)
+            if enc is None:
+                raise ValueError("record without image/encoded feature")
+            lab = 0 if lab is None else int(lab)
+            return RawJpeg(enc), lab + self.label_offset, None
+
+        if not (self.is_training and self.shuffle_buffer):
+            for f in files:
+                for rec in read_records(f):
+                    yield emit(rec)
+            return
+        # streaming shuffle: keep `shuffle_buffer` raw records resident
+        # and emit a uniformly-chosen one per arrival (same contract as
+        # tf.data's shuffle(buffer) at a fraction of the cost — buffers
+        # are raw payload bytes, never feature tensors)
+        buf: List[bytes] = []
+        for f in files:
+            for rec in read_records(f):
+                if len(buf) < self.shuffle_buffer:
+                    buf.append(rec)
+                    continue
+                j = int(rng.randint(len(buf)))
+                out, buf[j] = buf[j], rec
+                yield emit(out)
+        rng.shuffle(buf)
+        for rec in buf:
+            yield emit(rec)
 
 
 class TFDSImageDataset(IterableImageDataset):

@@ -30,6 +30,7 @@ import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from autoprog_tpu.parallel.mesh import shard_batch
@@ -143,10 +144,15 @@ def probe_candidate(ctx, loader_search, *, r: int, keep, params, batch_stats,
     if total_steps is None:
         total_steps = getattr(ctx.args, "search_probe_steps", 50)
     loss_step = ctx.sb.loss_probe_step(r=r, keep=keep)
-    losses = AverageMeter()
     rng = jax.random.fold_in(ctx.rng, 4242)
     it = iter(loader_search)
     first_batch = None
+    # device-side accumulation: every loss_step dispatch is async and the
+    # running sum stays on device — ONE host readback per probe, not one
+    # per step (a per-step float() pays the 3-7 ms tunnel sync 50 times
+    # per candidate; engine.train_one_epoch's discipline applied here)
+    loss_sum = None
+    n = 0
     for i in range(total_steps):
         try:
             batch = next(it)
@@ -156,10 +162,11 @@ def probe_candidate(ctx, loader_search, *, r: int, keep, params, batch_stats,
         batch = shard_batch(ctx.mesh, batch)
         if first_batch is None:
             first_batch = batch
-        losses.update(float(loss_step(params, batch_stats, batch,
-                                      jax.random.fold_in(rng, i))),
-                      batch["label"].shape[0])
-    out = {"loss": losses.avg}
+        l = loss_step(params, batch_stats, batch,
+                      jax.random.fold_in(rng, i))
+        loss_sum = l if loss_sum is None else loss_sum + l
+        n += 1
+    out = {"loss": float(loss_sum) / max(n, 1)}
     if with_time and first_batch is not None:
         # the criterion consumes these times (`main_prog.py:1721`): chain
         # K fwd+bwd steps in ONE jitted fori_loop and sync with a D2H
@@ -224,6 +231,23 @@ def train_one_epoch_super(ctx, epoch: int, loader, loader_search, *,
     end = time.time()
     device_re = re_prob if getattr(ctx.args, "uint8_pipe", False) else 0.0
     warmed_steps = False
+
+    # per-batch losses stay on device; (cell, device-scalar) pairs are
+    # drained into the SmoothMeters as ONE stacked transfer per log
+    # interval — a per-batch float() host-syncs the 3-7 ms tunnel every
+    # step, which can exceed a small candidate's compute (the main train
+    # loop was already built this way, engine.py; this is the search-epoch
+    # counterpart)
+    pending: List[Tuple[int, int, jax.Array]] = []
+
+    def drain():
+        if not pending:
+            return
+        vals = np.asarray(jnp.stack([v for _, _, v in pending]))
+        for (i_r, i_l, _), v in zip(pending, vals):
+            losses_m[i_r][i_l].update(float(v))
+        pending.clear()
+
     for batch_idx, batch in enumerate(loader):
         l = int(sampler.choice(l_list))
         r = int(sampler.choice(r_list))
@@ -243,9 +267,12 @@ def train_one_epoch_super(ctx, epoch: int, loader, loader_search, *,
         step = ctx.sb.train_step(r=r, keep=keep_of[l], splits=splits,
                                  re_prob=device_re)
         state, metrics = step(state, batch, lr, ctx.rng)
-        losses_m[r_idx][l_idx].update(float(metrics["loss"]))
+        pending.append((r_idx, l_idx, metrics["loss"]))
         batch_time.update(time.time() - end)
 
+        if batch_idx % args.log_interval == 0 or batch_idx == nb - 1 or \
+                batch_idx == 49 or batch_idx in eval_steps:
+            drain()
         if batch_idx % args.log_interval == 0 or batch_idx == nb - 1:
             if ctx.is_primary:
                 grid = "; ".join(
@@ -271,6 +298,7 @@ def train_one_epoch_super(ctx, epoch: int, loader, loader_search, *,
                     params=probe_params, batch_stats=probe_stats)
             search_rounds.append(rnd)
         end = time.time()
+    drain()
     ctx.state = state
     if epoch_time_m is not None:
         epoch_time_m.update(batch_time.sum)

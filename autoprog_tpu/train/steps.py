@@ -41,6 +41,20 @@ def _ce_logits_int(logits, labels):
     return -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
 
 
+def metrics_from_logits(logits, labels):
+    """loss/top1/top5 sums over a batch; label < 0 marks padding rows
+    (pad_eval_batch) and masks out of every reduction."""
+    valid = labels >= 0
+    loss = _ce_logits_int(logits, jnp.maximum(labels, 0))
+    top1 = (jnp.argmax(logits, -1) == labels) & valid
+    k5 = jax.lax.top_k(logits, min(5, logits.shape[-1]))[1]
+    top5 = jnp.any(k5 == labels[:, None], axis=-1) & valid
+    return {"loss_sum": jnp.where(valid, loss, 0.0).sum(),
+            "top1_sum": top1.sum().astype(jnp.float32),
+            "top5_sum": top5.sum().astype(jnp.float32),
+            "count": valid.sum().astype(jnp.float32)}
+
+
 class StepBuilder:
     """Factory + cache of compiled steps for one model/optimizer pairing."""
 
@@ -66,6 +80,7 @@ class StepBuilder:
         self.re_count = re_count
         self._train_cache: Dict = {}
         self._eval_cache: Dict = {}
+        self._logits_eval_cache: Dict = {}
         self._probe_cache: Dict = {}
         self._tput_cache: Dict = {}
         self._tput_chain_cache: Dict = {}
@@ -206,20 +221,41 @@ class StepBuilder:
                                       keep=keep)
             if isinstance(logits, tuple):
                 logits = logits[0]
-            labels = batch["label"]
-            # label < 0 marks padding rows (the loader pads the final
-            # partial batch to the compiled batch size; data/loader.py
-            # pad_eval_batch) — exclude them from every reduction
-            valid = labels >= 0
-            loss = _ce_logits_int(logits, jnp.maximum(labels, 0))
-            top1 = (jnp.argmax(logits, -1) == labels) & valid
-            k5 = jax.lax.top_k(logits, min(5, logits.shape[-1]))[1]
-            top5 = jnp.any(k5 == labels[:, None], axis=-1) & valid
-            return {"loss_sum": jnp.where(valid, loss, 0.0).sum(),
-                    "top1_sum": top1.sum().astype(jnp.float32),
-                    "top5_sum": top5.sum().astype(jnp.float32),
-                    "count": valid.sum().astype(jnp.float32)}
+            return metrics_from_logits(logits, batch["label"])
         return jax.jit(step)
+
+    def logits_eval_step(self, *, tta: int = 1, keep=None):
+        """Compiled eval step that also yields per-(group-)sample argmax
+        predictions — the single forward shared by metrics, `--tta`
+        group-averaging and `--real-labels` prediction (the reference's
+        `validate.py:228-238` does all three from one `model(input)`).
+
+        With tta > 1 the batch holds `tta` adjacent views per sample
+        (TTADataset): logits are group-mean-reduced before metrics.
+        Padding rows (label -1, always trailing) mask out of every
+        reduction; with tta > 1 the pad boundary aligns with a group
+        boundary because the loader keeps batches a multiple of tta.
+        Returns (metrics_dict, preds[int32 per group])."""
+        key = (tta, keep)
+        if key not in self._logits_eval_cache:
+            def step(params, batch_stats, batch):
+                variables = {"params": params}
+                if batch_stats:
+                    variables["batch_stats"] = batch_stats
+                images = self._prep_images(batch["image"])
+                out = self.model.apply(variables, images, train=False,
+                                       keep=keep)
+                logits = out[0] if isinstance(out, tuple) else out
+                logits = logits.astype(jnp.float32)
+                labels = batch["label"]
+                if tta > 1:
+                    logits = logits.reshape(
+                        -1, tta, logits.shape[-1]).mean(axis=1)
+                    labels = labels[::tta]
+                return metrics_from_logits(logits, labels), \
+                    jnp.argmax(logits, -1).astype(jnp.int32)
+            self._logits_eval_cache[key] = jax.jit(step)
+        return self._logits_eval_cache[key]
 
     # ---------------- search probes --------------------------------------
 

@@ -119,14 +119,19 @@ def validate(args) -> dict:
                         fake_size=args.fake_data_size, image_size=img)
     sb = StepBuilder(model=model, tx=None, train_loss=None,
                      num_classes=args.num_classes)
-    step = sb.eval_step()
-
-    batch_size = args.batch_size
     tta = int(args.tta or 0)
-    if tta > 1:
-        # groups must never split across batches: the TTADataset emits t
-        # adjacent views per sample, so keep the batch a multiple of t
-        batch_size = max(tta, (batch_size // tta) * tta)
+    use_preds = tta > 1 or bool(args.real_labels)
+    # one compiled forward serves metrics, TTA group-averaging AND
+    # real-label predictions (the reference derives all three from one
+    # `model(input)`, `validate.py:228-238`); no eager per-batch apply
+    step = sb.logits_eval_step(tta=max(tta, 1)) if use_preds \
+        else sb.eval_step()
+
+    # the batch must divide into both TTA view-groups (never split a
+    # group across batches) and the mesh data axis (shard_batch)
+    import math
+    align = math.lcm(max(tta, 1), int(mesh.shape["data"]))
+    batch_size = max(align, (args.batch_size // align) * align)
     while True:
         try:
             loader = create_loader(
@@ -144,32 +149,14 @@ def validate(args) -> dict:
                 orig_n = int(batch["label"].shape[0])
                 batch = pad_eval_batch(batch, loader.batch_size)
                 batch = shard_batch(mesh, batch)
-                if tta > 1:
-                    logits = model.apply(
-                        {"params": params, **({"batch_stats": batch_stats}
-                                              if batch_stats else {})},
-                        batch["image"], train=False)
-                    if isinstance(logits, tuple):
-                        logits = logits[0]
-                    # orig_n (pre-pad) is a multiple of t by construction
-                    logits = logits[:orig_n] \
-                        .reshape(-1, tta, logits.shape[-1]).mean(axis=1)
-                    labels = batch["label"][:orig_n:tta]
-                    m = _metrics_from_logits(logits, labels)
+                if use_preds:
+                    m, preds = step(params, batch_stats, batch)
+                    n_groups = orig_n // max(tta, 1)
                     if real is not None:
-                        real.add(src_idx, logits)
-                    src_idx += orig_n // tta
+                        real.add_preds(src_idx, preds[:n_groups])
+                    src_idx += n_groups
                 else:
                     m = step(params, batch_stats, batch)
-                    if real is not None:
-                        logits = model.apply(
-                            {"params": params,
-                             **({"batch_stats": batch_stats}
-                                if batch_stats else {})},
-                            batch["image"], train=False)
-                        if isinstance(logits, tuple):
-                            logits = logits[0]
-                        real.add(src_idx, logits[:orig_n])
                     src_idx += orig_n
                 # device-side accumulation: one D2H readback per epoch,
                 # plus one per log interval for the progress line
@@ -184,9 +171,11 @@ def validate(args) -> dict:
                       "count": 0.0}
             break
         except jax.errors.JaxRuntimeError as e:
-            # retry-on-OOM batch halving (`validate.py:311-322`)
-            if "RESOURCE_EXHAUSTED" in str(e) and batch_size > 1:
-                batch_size = max(batch_size // 2, 1)
+            # retry-on-OOM batch halving (`validate.py:311-322`), keeping
+            # the tta-group / data-axis alignment on every retry
+            if "RESOURCE_EXHAUSTED" in str(e) and batch_size > align:
+                batch_size = max(align,
+                                 ((batch_size // 2) // align) * align)
                 _logger.warning("OOM — retrying with batch size %d",
                                 batch_size)
                 continue
@@ -206,20 +195,6 @@ def validate(args) -> dict:
         result["top1_real"] = round(real.top1, 4)
     _logger.info("Result: %s", result)
     return result
-
-
-def _metrics_from_logits(logits, labels):
-    valid = labels >= 0  # padding rows (pad_eval_batch) carry label -1
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
-    loss = -jnp.take_along_axis(logp, jnp.maximum(labels, 0)[:, None],
-                                -1)[:, 0]
-    top1 = (jnp.argmax(logits, -1) == labels) & valid
-    k5 = jax.lax.top_k(logits, min(5, logits.shape[-1]))[1]
-    top5 = jnp.any(k5 == labels[:, None], -1) & valid
-    return {"loss_sum": jnp.where(valid, loss, 0.0).sum(),
-            "top1_sum": top1.sum().astype(jnp.float32),
-            "top5_sum": top5.sum().astype(jnp.float32),
-            "count": valid.sum().astype(jnp.float32)}
 
 
 class _RealLabels:
@@ -246,6 +221,15 @@ class _RealLabels:
                  for p, _ in getattr(dataset, "samples", [])]
         if names:
             self.sets = [by_name.get(nm) or [] for nm in names]
+            if isinstance(data, list) and not any(self.sets):
+                # a list-form real.json against a custom val folder whose
+                # filenames are not ILSVRC2012_val_%08d.JPEG: zero name
+                # hits — fall back to positional order instead of
+                # silently reporting 0/0
+                _logger.warning(
+                    "--real-labels: no dataset filename matched the "
+                    "list-form JSON; applying labels positionally")
+                self.sets = data
         elif isinstance(data, list):
             self.sets = data  # no filenames (synthetic/iterable): by order
         else:
@@ -254,8 +238,11 @@ class _RealLabels:
         self.total = 0
 
     def add(self, start_idx: int, logits) -> None:
+        self.add_preds(start_idx, logits.argmax(-1))
+
+    def add_preds(self, start_idx: int, preds) -> None:
         import numpy as np
-        preds = np.asarray(logits.argmax(-1))
+        preds = np.asarray(preds)
         for j, p in enumerate(preds):
             idx = start_idx + j
             if idx >= len(self.sets) or not self.sets[idx]:

@@ -65,13 +65,78 @@ def drive(root: str, *, workers: int, use_native: bool,
     return n / dt
 
 
+def make_tfrecords(root: str, n: int, shards: int = 4,
+                   size=(500, 400)) -> str:
+    import io
+    import tensorflow as tf
+    from PIL import Image
+    out = os.path.join(root, "tfrecord")
+    if os.path.exists(os.path.join(out, "DONE")):
+        return out
+    os.makedirs(out, exist_ok=True)
+    rs = np.random.RandomState(0)
+    per = n // shards
+    for s in range(shards):
+        path = os.path.join(out, f"train-{s:05d}-of-{shards:05d}")
+        with tf.io.TFRecordWriter(path) as w:
+            for _ in range(per):
+                # low-frequency noise upsampled: JPEG-compresses to
+                # ~100-120 KB like real ImageNet photos (pure noise is
+                # incompressible and lands at ~235 KB — 2x pessimistic)
+                small = rs.randint(0, 255, (size[1] // 8, size[0] // 8, 3),
+                                   np.uint8)
+                arr = np.asarray(Image.fromarray(small).resize(
+                    size, Image.BILINEAR))
+                arr = np.clip(arr.astype(np.int16) +
+                              rs.randint(-8, 8, arr.shape), 0,
+                              255).astype(np.uint8)
+                buf = io.BytesIO()
+                Image.fromarray(arr).save(buf, "JPEG", quality=90)
+                ex = tf.train.Example(features=tf.train.Features(feature={
+                    "image/encoded": tf.train.Feature(
+                        bytes_list=tf.train.BytesList(
+                            value=[buf.getvalue()])),
+                    "image/class/label": tf.train.Feature(
+                        int64_list=tf.train.Int64List(
+                            value=[rs.randint(0, 8)]))}))
+                w.write(ex.SerializeToString())
+    open(os.path.join(out, "DONE"), "w").close()
+    return out
+
+
+def drive_tfrecord(root: str, epochs: int = 3) -> float:
+    """Record-supply rate (raw JPEG bytes + label, decode excluded) —
+    the number a chip consuming ~1.1k img/s must stay well under."""
+    from autoprog_tpu.data.dataset import TFRecordImageDataset
+
+    ds = TFRecordImageDataset(root, split="train", is_training=True)
+    # warm the page cache
+    for _ in ds.iter_samples(0, 0, 1):
+        pass
+    n = 0
+    t0 = time.perf_counter()
+    for e in range(epochs):
+        for _ in ds.iter_samples(e, 0, 1):
+            n += 1
+    return n / (time.perf_counter() - t0)
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--images", type=int, default=2048)
     p.add_argument("--root", default="/tmp/bench_loader_data")
+    p.add_argument("--tfrecord", action="store_true",
+                   help="benchmark raw TFRecord record-supply rate instead "
+                        "of the decode/augment loader")
     args = p.parse_args()
+    if args.tfrecord:
+        troot = make_tfrecords(args.root, args.images)
+        rate = drive_tfrecord(troot)
+        print(f"tfrecord supply: {rate:8.1f} records/s "
+              f"({args.images} records)", flush=True)
+        return
     make_jpeg_folder(args.root, args.images)
     # interleaved repeats, best-of: page cache, fork-pool spin-up, and
     # host drift otherwise dominate a single epoch-length measurement

@@ -132,3 +132,51 @@ def test_tfds_grammar_gated():
         pass
     with pytest.raises(ImportError, match="tensorflow_datasets"):
         create_dataset("tfds/imagenet2012", "", split="train")
+
+
+def test_tfrecord_direct_reader_parity_and_crc(tmp_path):
+    """data/tfrecord.py: framing + proto scan vs TF's own writer/parser —
+    bytes and labels must match record-for-record; CRC verification must
+    accept TF-written files and reject corruption."""
+    from autoprog_tpu.data.tfrecord import read_records, scan_example
+
+    root = str(tmp_path)
+    _write_tfrecords(root, "train", n_files=1, per_file=5)
+    path = os.path.join(root, "train-00000-of-00001")
+    recs = list(read_records(path, verify_crc=True))
+    assert len(recs) == 5
+    for rec in recs:
+        ex = tf.train.Example.FromString(rec)
+        want_e = ex.features.feature["image/encoded"].bytes_list.value[0]
+        want_l = ex.features.feature["image/class/label"].int64_list.value[0]
+        got_e, got_l = scan_example(rec)
+        assert got_e == want_e and got_l == want_l
+
+    # corruption must be caught when verify_crc=True
+    blob = bytearray(open(path, "rb").read())
+    blob[40] ^= 0xFF
+    bad = os.path.join(root, "bad")
+    open(bad, "wb").write(bytes(blob))
+    with pytest.raises((IOError, EOFError, ValueError)):
+        list(read_records(bad, verify_crc=True))
+
+
+def test_tfrecord_scanner_skips_extra_features():
+    """Classic ImageNet TFRecords carry height/width/colorspace/text
+    features; the scanner must skip them structurally."""
+    from autoprog_tpu.data.tfrecord import scan_example
+
+    ex = tf.train.Example(features=tf.train.Features(feature={
+        "image/height": tf.train.Feature(
+            int64_list=tf.train.Int64List(value=[224])),
+        "image/encoded": tf.train.Feature(
+            bytes_list=tf.train.BytesList(value=[b"jpegbytes"])),
+        "image/class/text": tf.train.Feature(
+            bytes_list=tf.train.BytesList(value=[b"tabby cat"])),
+        "image/class/label": tf.train.Feature(
+            int64_list=tf.train.Int64List(value=[282])),
+        "image/object/bbox/xmin": tf.train.Feature(
+            float_list=tf.train.FloatList(value=[0.1, 0.2])),
+    }))
+    enc, lab = scan_example(ex.SerializeToString())
+    assert enc == b"jpegbytes" and lab == 282

@@ -68,6 +68,51 @@ def test_validate_tta_end_to_end(tmp_path):
     assert res[-1]["count"] == 6
 
 
+def test_validate_tta_batch_not_divisible_by_mesh(tmp_path):
+    """--tta 3 with -b 64 on the 8-device mesh: naive rounding to a
+    multiple of 3 gives 63, which shard_batch cannot split 8 ways. The
+    batch must round to a multiple of lcm(tta, data-axis) instead."""
+    from autoprog_tpu.validate import main
+
+    root = _make_imagefolder(str(tmp_path), classes=2, per_class=4)
+    res = main([root, "--model", "deit_h2_l2", "--num-classes", "2",
+                "--img-size", "32", "-b", "64", "--workers", "0",
+                "--split", "val", "--tta", "3", "--no-bf16"])
+    assert res[-1]["count"] == 8
+
+
+def test_validate_real_labels_end_to_end(tmp_path):
+    """--real-labels shares the compiled forward with the metrics path
+    (no separate eager apply) and scores against the JSON sets."""
+    from autoprog_tpu.validate import main
+
+    root = _make_imagefolder(str(tmp_path))
+    names = sorted(f"{c}_{i}.png" for c in range(2) for i in range(3))
+    real = {nm: [0, 1] for nm in names}  # every class accepted
+    p = tmp_path / "real.json"
+    p.write_text(json.dumps(real))
+    res = main([root, "--model", "deit_h2_l2", "--num-classes", "2",
+                "--img-size", "32", "-b", "8", "--workers", "0",
+                "--split", "val", "--real-labels", str(p), "--no-bf16"])
+    assert res[-1]["count"] == 6
+    assert res[-1]["top1_real"] == 100.0  # all labels acceptable
+
+
+def test_real_labels_positional_fallback_when_no_name_matches(tmp_path):
+    from autoprog_tpu.validate import _RealLabels
+
+    class _DS:
+        samples = [("/x/custom_1.png", 0), ("/x/custom_2.png", 1)]
+
+    # list-form real.json implies ILSVRC2012_val names — zero hits against
+    # a custom folder must fall back to positional application
+    p = tmp_path / "real.json"
+    p.write_text(json.dumps([[2], [1]]))
+    rl = _RealLabels(str(p), _DS())
+    rl.add_preds(0, np.asarray([2, 1]))
+    assert rl.total == 2 and rl.correct == 2
+
+
 def test_real_labels_keyed_by_filename(tmp_path):
     from autoprog_tpu.validate import _RealLabels
 
