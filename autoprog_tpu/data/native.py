@@ -56,6 +56,14 @@ def load_library():
     lib.fi_normalize.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+    lib.fi_affine_u8.restype = None
+    lib.fi_affine_u8.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p]
+    lib.fi_enhance_u8.restype = None
+    lib.fi_enhance_u8.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float]
     _LIB = lib
     return _LIB
 
@@ -92,6 +100,44 @@ def decode_crop_resize(data: bytes, box: Tuple[int, int, int, int],
         out.ctypes.data_as(ctypes.c_void_p), size, size)
     if rc != 0:
         return None
+    return out
+
+
+ENHANCE_MODES = {"Brightness": 0, "Color": 1, "Contrast": 2,
+                 "Sharpness": 3}
+
+
+def affine(rgb: np.ndarray, coeffs, fill=(128, 128, 128)
+           ) -> Optional[np.ndarray]:
+    """Inverse-mapped affine warp (PIL Image.transform(AFFINE) semantics):
+    output (x, y) samples source (a x + b y + c, d x + e y + f), bilinear,
+    constant fill. Returns None when the library is unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    rgb = np.ascontiguousarray(rgb)
+    h, w = rgb.shape[:2]
+    out = np.empty_like(rgb)
+    m = np.asarray(coeffs, np.float64)
+    f = np.asarray(fill, np.uint8)
+    lib.fi_affine_u8(rgb.ctypes.data_as(ctypes.c_void_p), h, w,
+                     m.ctypes.data_as(ctypes.c_void_p),
+                     f.ctypes.data_as(ctypes.c_void_p),
+                     out.ctypes.data_as(ctypes.c_void_p))
+    return out
+
+
+def enhance(rgb: np.ndarray, mode: str, factor: float
+            ) -> Optional[np.ndarray]:
+    """PIL ImageEnhance.{Brightness,Color,Contrast,Sharpness} on an RGB8
+    array (in a copy). Returns None when the library is unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    out = np.ascontiguousarray(rgb).copy()
+    h, w = out.shape[:2]
+    lib.fi_enhance_u8(out.ctypes.data_as(ctypes.c_void_p), h, w,
+                      ENHANCE_MODES[mode], float(factor))
     return out
 
 

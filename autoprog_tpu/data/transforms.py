@@ -115,6 +115,145 @@ def _level_signed(level, rng, maxval):
     return -v if rng.random() < 0.5 else v
 
 
+# ---- array implementations (uint8 [H,W,3]) of the same ops ----------------
+# Point ops are plain numpy LUTs; geometric ops go through the native
+# inverse-affine kernel (fi_affine_u8) and enhancement through
+# fi_enhance_u8 — no PIL round-trip in loader workers. Each mirrors its
+# PIL counterpart's math (truncation/rounding included) so the two paths
+# agree within resampling rounding.
+
+_RA_FILL = (128, 128, 128)
+
+
+def _np_lut(x: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    return lut.astype(np.uint8)[x]
+
+
+def _np_autocontrast(x: np.ndarray, _m) -> np.ndarray:
+    out = np.empty_like(x)
+    for c in range(x.shape[-1]):
+        ch = x[..., c]
+        h = np.bincount(ch.ravel(), minlength=256)
+        nz = np.nonzero(h)[0]
+        if nz.size == 0 or nz[0] == nz[-1]:
+            out[..., c] = ch
+            continue
+        lo, hi = int(nz[0]), int(nz[-1])
+        scale = 255.0 / (hi - lo)
+        lut = np.clip((np.arange(256) * scale - lo * scale).astype(int),
+                      0, 255)
+        out[..., c] = _np_lut(ch, lut)
+    return out
+
+
+def _np_equalize(x: np.ndarray, _m) -> np.ndarray:
+    # PIL ImageOps.equalize: per channel, step = (npixels - last_nonzero
+    # bin) // 255; lut accumulates h with an n = step // 2 bias
+    out = np.empty_like(x)
+    for c in range(x.shape[-1]):
+        ch = x[..., c]
+        h = np.bincount(ch.ravel(), minlength=256)
+        nz = h[np.nonzero(h)[0]]
+        if nz.size <= 1:
+            out[..., c] = ch
+            continue
+        step = (int(h.sum()) - int(nz[-1])) // 255
+        if not step:
+            out[..., c] = ch
+            continue
+        n = step // 2 + np.concatenate([[0], np.cumsum(h)[:-1]])
+        lut = np.clip(n // step, 0, 255)
+        out[..., c] = _np_lut(ch, lut)
+    return out
+
+
+def _np_invert(x: np.ndarray, _m) -> np.ndarray:
+    return 255 - x
+
+
+def _np_posterize(x: np.ndarray, m) -> np.ndarray:
+    bits = max(1, int(m))
+    return x & np.uint8(0xFF & (0xFF << (8 - bits)))
+
+
+def _np_solarize(x: np.ndarray, m) -> np.ndarray:
+    t = int(m)
+    return np.where(x < t, x, 255 - x).astype(np.uint8)
+
+
+def _np_solarize_add(x: np.ndarray, add) -> np.ndarray:
+    add = int(add)
+    bumped = np.minimum(x.astype(np.int16) + add, 255).astype(np.uint8)
+    return np.where(x < 128, bumped, x)
+
+
+def _np_affine(x: np.ndarray, coeffs):
+    from autoprog_tpu.data import native
+    out = native.affine(x, coeffs, _RA_FILL)
+    if out is not None:
+        return out
+    img = Image.fromarray(x).transform(
+        (x.shape[1], x.shape[0]), Image.AFFINE, coeffs, Image.BILINEAR,
+        fillcolor=_RA_FILL)
+    return np.asarray(img)
+
+
+def _np_rotate(x: np.ndarray, deg) -> np.ndarray:
+    # PIL Image.rotate: inverse map built from -angle about the center
+    a = -math.radians(deg)
+    cos, sin = math.cos(a), math.sin(a)
+    h, w = x.shape[:2]
+    cx, cy = w / 2.0, h / 2.0
+    c = cx - (cos * cx + sin * cy)
+    f = cy - (-sin * cx + cos * cy)
+    return _np_affine(x, (cos, sin, c, -sin, cos, f))
+
+
+def _np_shear(axis):
+    def op(x, mag):
+        coeffs = (1, mag, 0, 0, 1, 0) if axis == 0 else (1, 0, 0, mag, 1, 0)
+        return _np_affine(x, coeffs)
+    return op
+
+
+def _np_translate(axis):
+    def op(x, mag):
+        d = int(mag * (x.shape[1] if axis == 0 else x.shape[0]))
+        coeffs = (1, 0, d, 0, 1, 0) if axis == 0 else (1, 0, 0, 0, 1, d)
+        return _np_affine(x, coeffs)
+    return op
+
+
+def _np_enhance(name):
+    def op(x, mag):
+        from autoprog_tpu.data import native
+        out = native.enhance(x, name, 1.0 + mag)
+        if out is not None:
+            return out
+        cls = getattr(ImageEnhance, name)
+        return np.asarray(cls(Image.fromarray(x)).enhance(1.0 + mag))
+    return op
+
+
+_RA_OPS_ARRAY = {
+    "AutoContrast": _np_autocontrast,
+    "Equalize": _np_equalize,
+    "Invert": _np_invert,
+    "Rotate": _np_rotate,
+    "Posterize": _np_posterize,
+    "Solarize": _np_solarize,
+    "SolarizeAdd": _np_solarize_add,
+    "Color": _np_enhance("Color"),
+    "Contrast": _np_enhance("Contrast"),
+    "Brightness": _np_enhance("Brightness"),
+    "Sharpness": _np_enhance("Sharpness"),
+    "ShearX": _np_shear(0),
+    "ShearY": _np_shear(1),
+    "TranslateX": _np_translate(0),
+    "TranslateY": _np_translate(1),
+}
+
+
 # (name, apply(img, magnitude), magnitude_fn(level, rng))
 _RA_OPS = [
     ("AutoContrast", lambda im, m: ImageOps.autocontrast(im), lambda l, r: 0),
@@ -162,7 +301,12 @@ class RandAugment:
         return cls(magnitude=float(m.group(1)),
                    mstd=float(m.group(2) or 0.0))
 
-    def __call__(self, img: Image.Image, rng: np.random.Generator):
+    def __call__(self, img, rng: np.random.Generator):
+        """Apply to a PIL image OR a uint8 [H,W,3] array (array in,
+        array out — loader workers stay PIL-free on the native path).
+        Both paths draw from `rng` in the same order, so a given seed
+        produces the same op/magnitude sequence either way."""
+        as_array = isinstance(img, np.ndarray)
         idx = rng.integers(0, len(_RA_OPS), size=self.num_layers)
         for i in idx:
             if rng.random() > self.prob:
@@ -172,7 +316,11 @@ class RandAugment:
             if self.mstd > 0:
                 level = level + rng.normal(0, self.mstd)
             level = float(np.clip(level, 0, _MAX_LEVEL))
-            img = apply_fn(img, mag_fn(level, rng))
+            mag = mag_fn(level, rng)
+            if as_array:
+                img = _RA_OPS_ARRAY[name](img, mag)
+            else:
+                img = apply_fn(img, mag)
         return img
 
 
@@ -291,18 +439,25 @@ class TrainTransform:
         if do_v:
             rgb = rgb[::-1]
         flip_in_normalize = flipped
-        if self.color_jitter or self.rand_augment is not None:
+        if self.color_jitter:
+            # color jitter still round-trips PIL (rarely combined with
+            # RandAugment; timm disables jitter when an aa policy is set)
             img = Image.fromarray(rgb[:, ::-1] if flipped else rgb)
             flip_in_normalize = False
-            if self.color_jitter:
-                for enh in (ImageEnhance.Brightness, ImageEnhance.Contrast,
-                            ImageEnhance.Color):
-                    f = 1.0 + rng.uniform(-self.color_jitter,
-                                          self.color_jitter)
-                    img = enh(img).enhance(max(f, 0.0))
-            if self.rand_augment is not None:
-                img = self.rand_augment(img, rng)
+            for enh in (ImageEnhance.Brightness, ImageEnhance.Contrast,
+                        ImageEnhance.Color):
+                f = 1.0 + rng.uniform(-self.color_jitter,
+                                      self.color_jitter)
+                img = enh(img).enhance(max(f, 0.0))
             rgb = np.asarray(img)
+            if self.rand_augment is not None:
+                rgb = self.rand_augment(np.ascontiguousarray(rgb), rng)
+        elif self.rand_augment is not None:
+            # array-native RandAugment: no PIL round-trip
+            if flipped:
+                rgb = rgb[:, ::-1]
+                flip_in_normalize = False
+            rgb = self.rand_augment(np.ascontiguousarray(rgb), rng)
         params = CropParams(top, left, h, w, flipped, do_v, src_h, src_w)
         if self.emit_uint8:
             if flip_in_normalize:
