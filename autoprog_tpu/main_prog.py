@@ -30,6 +30,11 @@ _logger = logging.getLogger("autoprog_tpu")
 # convenience aliases: canonical VOLO sizes in the name-as-config grammar
 _VARIANT_ALIASES = {"volo_d1": "volo_h12_l18"}
 
+# test/debug seam: the last completed run's TrainContext (carries
+# `stage_history`, the traversed (epoch, r, h, l, ...) sequence — the
+# multi-process e2e test asserts every process walked the same one)
+LAST_CTX = None
+
 
 def auto_grow(ctx, *, search_r, search_h, search_l, current_dp, current_aa,
               current_re, current_resize, epoch, stage, loader_eval,
@@ -194,6 +199,8 @@ def main(argv=None):
     epoch_time_m = AverageMeter()
     best_metric = best_epoch = None
     grow_epochs: List[int] = list(sched.grow_epochs)
+    stage_history: List[dict] = [dict(epoch=start_epoch, **cur)]
+    ctx.stage_history = stage_history
     try:
         for epoch in range(start_epoch, num_epochs):
             if epoch in grow_epochs:
@@ -263,6 +270,7 @@ def main(argv=None):
                                    max_steps=args.recal_bn_steps)
                 _logger.info("stage %d: %s (batch splits %d)", stage, cur,
                              splits)
+                stage_history.append(dict(epoch=epoch, stage=stage, **cur))
 
             if args.auto_grow and any(
                     epoch in range(e, e + args.search_epochs)
@@ -293,6 +301,8 @@ def main(argv=None):
         _logger.info("*** Best metric: %s (epoch %s)", best_metric,
                      best_epoch)
     _logger.info("total train time: %.1fs", epoch_time_m.sum)
+    global LAST_CTX
+    LAST_CTX = ctx
     return best_metric
 
 

@@ -58,14 +58,67 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch):
     """Device-put a host batch pytree with the leading axis sharded over
-    `data` (the per-host loader feeds its local shard; see data/loader.py)."""
+    `data` (the per-host loader feeds its local shard; see data/loader.py).
+
+    Multi-process: built from each process's LOCAL shard via
+    `make_array_from_process_local_data` — a plain `device_put` to a
+    multi-process sharding inserts a per-leaf `assert_equal` allgather
+    (jax dispatch.py:482-497), i.e. hundreds of host collectives per
+    step whose 30 s Gloo setup windows deadlock the trainer whenever the
+    processes skew (e.g. one is still compiling). The local-data path
+    needs no collective at all, and is the only semantically right one
+    anyway: each host's loader yields a DIFFERENT shard."""
     s = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+        batch)
 
 
 def replicate(mesh: Mesh, tree):
+    """Fully-replicated global arrays from per-process host copies.
+
+    Multi-process: same collective-free construction as `shard_batch`
+    (every process holds the full value, so its local data IS its
+    portion of the replicated array). The cross-process agreement this
+    skips is guaranteed upstream: params come from the same seed or the
+    same checkpoint, and grow decisions are broadcast (sync_decision)."""
     s = replicated_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+    def put(x):
+        return jax.make_array_from_process_local_data(
+            s, np.asarray(x), np.shape(x))
+    return jax.tree.map(put, tree)
+
+
+_BARRIER_SEQ: dict = {}
+
+
+def compile_barrier(tag: str, timeout_ms: int = 1_800_000) -> None:
+    """Rendezvous all processes through the coordination service (plain
+    gRPC barrier — long timeout, no Gloo).
+
+    XLA:CPU's Gloo collectives initialize their context lazily at a
+    program's FIRST dispatch with a hard ~30 s key-value timeout; two
+    processes compiling the same (minutes-long) program at different
+    speeds therefore deadlock the faster one. Calling this after
+    AOT-compiling and before first dispatch absorbs any compile skew.
+    No-op single-process."""
+    if jax.process_count() <= 1:
+        return
+    try:
+        from jax._src import distributed
+        client = getattr(distributed.global_state, "client", None)
+        if client is None:
+            return
+        n = _BARRIER_SEQ.get(tag, 0)
+        _BARRIER_SEQ[tag] = n + 1
+        client.wait_at_barrier(f"autoprog:{tag}:{n}", timeout_ms)
+    except Exception:
+        pass  # barrier is a scheduling aid, never a failure mode
 
 
 def maybe_init_distributed() -> None:
@@ -75,6 +128,12 @@ def maybe_init_distributed() -> None:
     import os
     if "COORDINATOR_ADDRESS" in os.environ and jax.process_count() == 1:
         jax.distributed.initialize()
+    if jax.process_count() > 1:
+        # re-point the compile cache at this process's own dir (the
+        # process count was not known when apply_platform_env first set
+        # it — see platform.enable_compilation_cache)
+        from autoprog_tpu.platform import enable_compilation_cache
+        enable_compilation_cache()
 
 
 def process_batch_slice(global_batch: int) -> slice:

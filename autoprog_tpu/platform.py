@@ -38,6 +38,15 @@ def enable_compilation_cache(path: str = "") -> None:
             os.path.expanduser(f"~/.cache/autoprog_tpu/xla-{plat}"))
     try:
         import jax
+        if jax.process_count() > 1:
+            # per-process dirs in multi-process runs: programs compile
+            # against different device ids per process, so a SHARED dir
+            # hits for one process (entries from its previous runs) and
+            # misses for the others — the resulting minutes-long compile
+            # skew trips Gloo's ~30 s context-init window at the first
+            # collective. Separate dirs keep every process's hit/miss
+            # pattern identical, so they stay in natural lockstep.
+            path = os.path.join(path, f"proc{jax.process_index()}")
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -40,7 +40,8 @@ def make_bn_update_step(model, *, r: int, keep=None):
                   "mixtoken": jax.random.fold_in(rng, 2)},
             mutable=["batch_stats"])
         return mutated["batch_stats"]
-    return jax.jit(step)
+    from autoprog_tpu.train.steps import _sync_compiled
+    return _sync_compiled(jax.jit(step), f"bn:{r}:{keep}")
 
 
 def recalibrate_bn(ctx, loader, *, r: int, keep=None,

@@ -36,6 +36,36 @@ from autoprog_tpu.train.state import TrainState
 from autoprog_tpu.data.token_label import build_token_label_target, smooth_one_hot
 
 
+def _sync_compiled(fn, tag: str):
+    """Multi-process wrapper: AOT-compile on first call, rendezvous all
+    processes (compile_barrier) before the first dispatch, then reuse
+    the Compiled executable. Absorbs cross-process compile skew that
+    otherwise trips XLA:CPU Gloo's ~30 s context-init timeout on the
+    program's first collective (see parallel/mesh.py:compile_barrier).
+    Single-process: returns `fn` unchanged."""
+    if jax.process_count() <= 1:
+        return fn
+    from autoprog_tpu.parallel.mesh import compile_barrier
+    state: Dict = {}
+
+    def warmup(args):
+        if "compiled" not in state:
+            state["compiled"] = fn.lower(*args).compile()
+            compile_barrier(tag)
+
+    def wrapper(*args):
+        warmup(args)
+        try:
+            return state["compiled"](*args)
+        except (TypeError, ValueError):
+            # aval mismatch (changed batch shape): fall back to the jit,
+            # which compiles for the new shapes
+            return fn(*args)
+
+    wrapper.warmup = warmup
+    return wrapper
+
+
 def _ce_logits_int(logits, labels):
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     return -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
@@ -132,8 +162,9 @@ class StepBuilder:
                    re_prob: float = 0.0):
         key = (r, keep, splits, re_prob)
         if key not in self._train_cache:
-            self._train_cache[key] = self._make_train_step(r, keep, splits,
-                                                           re_prob)
+            self._train_cache[key] = _sync_compiled(
+                self._make_train_step(r, keep, splits, re_prob),
+                f"train:{key}")
         return self._train_cache[key]
 
     def warmup_train_step(self, *, r: int, keep=None, splits: int = 1,
@@ -148,7 +179,9 @@ class StepBuilder:
         the cache entry; later `train_step` calls return it directly."""
         key = (r, keep, splits, re_prob)
         fn = self.train_step(r=r, keep=keep, splits=splits, re_prob=re_prob)
-        if hasattr(fn, "lower"):  # still the traceable jit, not Compiled
+        if hasattr(fn, "warmup"):  # multi-process sync wrapper
+            fn.warmup(example)
+        elif hasattr(fn, "lower"):  # still the traceable jit, not Compiled
             self._train_cache[key] = fn.lower(*example).compile()
         return self._train_cache[key]
 
@@ -208,7 +241,8 @@ class StepBuilder:
 
     def eval_step(self, *, keep=None):
         if keep not in self._eval_cache:
-            self._eval_cache[keep] = self._make_eval_step(keep)
+            self._eval_cache[keep] = _sync_compiled(
+                self._make_eval_step(keep), f"eval:{keep}")
         return self._eval_cache[keep]
 
     def _make_eval_step(self, keep):
@@ -254,7 +288,8 @@ class StepBuilder:
                     labels = labels[::tta]
                 return metrics_from_logits(logits, labels), \
                     jnp.argmax(logits, -1).astype(jnp.int32)
-            self._logits_eval_cache[key] = jax.jit(step)
+            self._logits_eval_cache[key] = _sync_compiled(
+                jax.jit(step), f"logits_eval:{key}")
         return self._logits_eval_cache[key]
 
     # ---------------- search probes --------------------------------------
@@ -271,7 +306,8 @@ class StepBuilder:
                 logits = out[0] if isinstance(out, tuple) else out
                 loss = _ce_logits_int(logits, batch["label"])
                 return loss.mean()
-            self._probe_cache[key] = jax.jit(step)
+            self._probe_cache[key] = _sync_compiled(jax.jit(step),
+                                                    f"probe:{key}")
         return self._probe_cache[key]
 
     def throughput_probe_step(self, *, r: int, keep=None):
@@ -296,7 +332,8 @@ class StepBuilder:
                 # reduce to a tiny output so timing includes the full bwd
                 return jax.tree.reduce(
                     jnp.add, jax.tree.map(lambda x: jnp.sum(jnp.abs(x)), grads))
-            self._tput_cache[key] = jax.jit(step)
+            self._tput_cache[key] = _sync_compiled(jax.jit(step),
+                                                   f"tput:{key}")
         return self._tput_cache[key]
 
     def chained_throughput_probe(self, *, r: int, keep=None, iters: int = 10):
@@ -330,5 +367,6 @@ class StepBuilder:
                         jax.tree.map(lambda x: jnp.sum(jnp.abs(x)), grads))
 
                 return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
-            self._tput_chain_cache[key] = jax.jit(multi)
+            self._tput_chain_cache[key] = _sync_compiled(
+                jax.jit(multi), f"tput_chain:{key}")
         return self._tput_chain_cache[key]
