@@ -44,7 +44,38 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
     if n % model_parallel != 0:
         raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
     arr = np.array(devices).reshape(n // model_parallel, model_parallel)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    mesh = Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    _warm_collectives(mesh)
+    return mesh
+
+
+_WARMED = False
+
+
+def _warm_collectives(mesh: Mesh) -> None:
+    """Multi-process only: initialize the cross-process collective
+    context ONCE, at a point where all processes are synchronized.
+
+    XLA:CPU's Gloo backend creates its communicator context lazily at
+    the first cross-process execution, with a hard ~30 s key-value
+    rendezvous window. ANY first execution on the global clique — even
+    an eager elementwise op on a replicated array — can be that trigger,
+    so a process running >30 s ahead (compile skew, host load) deadlocks
+    the others. One barrier + dummy psum here pays the rendezvous while
+    processes are provably aligned; every later dispatch reuses the
+    context."""
+    global _WARMED
+    if _WARMED or jax.process_count() <= 1:
+        return
+    _WARMED = True
+    compile_barrier("mesh_collective_warmup")
+    import jax.numpy as jnp
+    rows = max(int(mesh.shape[DATA_AXIS]) // jax.process_count(), 1)
+    local = np.ones((rows,), np.float32)
+    arr = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(DATA_AXIS)), local)
+    out = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(arr)
+    float(out)  # block until the context exists everywhere
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

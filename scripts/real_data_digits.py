@@ -52,7 +52,7 @@ def materialize(root: str) -> None:
     open(os.path.join(root, "DONE"), "w").close()
 
 
-def common_flags() -> list:
+def common_flags(seed: int = 42) -> list:
     """Identical training config for both runs — incl. the reference
     recipe's 4-decay EMA list (scripts/train.sh uses EMA for the fixed
     baseline too, so leaving it off one side would skew accuracy)."""
@@ -61,7 +61,7 @@ def common_flags() -> list:
         "--num-classes", "10", "--img-size", "64", "-b", "64",
         "--lr", "1e-3", "--warmup-epochs", "1", "--cooldown-epochs", "0",
         "--sched", "cosine", "--min-lr", "1e-5", "--weight-decay", "0.05",
-        "--scale", "0.6", "1.0", "--workers", "2", "--seed", "42",
+        "--scale", "0.6", "1.0", "--workers", "2", "--seed", str(seed),
         "--smoothing", "0.1",
         "--model-ema", "--model-ema-decay", "0.9", "0.95", "0.99", "0.995",
     ]
@@ -88,15 +88,15 @@ def _train_time(out: str) -> float:
     return float(m[-1]) if m else float("nan")
 
 
-def run_fixed(data: str, out: str, model: str, epochs: int):
+def run_fixed(data: str, out: str, model: str, epochs: int, seed: int):
     from autoprog_tpu.main import main
     t0 = time.perf_counter()
     best = main([data, "--model", model, "--epochs", str(epochs),
-                 "--output", out] + common_flags())
+                 "--output", out] + common_flags(seed))
     return best, time.perf_counter() - t0, _train_time(out)
 
 
-def run_autoprog(data: str, out: str, model: str, epochs: int):
+def run_autoprog(data: str, out: str, model: str, epochs: int, seed: int):
     from autoprog_tpu.main_prog import main
     t0 = time.perf_counter()
     best = main([data, "--model", model, "--epochs", str(epochs),
@@ -104,7 +104,7 @@ def run_autoprog(data: str, out: str, model: str, epochs: int):
                  "--num-stages", "2", "--r-scale", "0.5",
                  "--l-scale", "0.5", "--auto-grow",
                  "--search-epochs", "1", "--search-probe-steps", "2",
-                 "--load-with-clone-ema"] + common_flags())
+                 "--load-with-clone-ema"] + common_flags(seed))
     return best, time.perf_counter() - t0, _train_time(out)
 
 
@@ -112,6 +112,9 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--model", default="volo_h2_l4")
+    p.add_argument("--seeds", type=int, nargs="+", default=[42],
+                   help="one full fixed-vs-autoprog A/B per seed; the "
+                        "summary reports mean +/- std over seeds")
     p.add_argument("--root", default=os.path.join(
         os.path.dirname(__file__), "..", "output"))
     args = p.parse_args()
@@ -120,21 +123,36 @@ def main() -> None:
     runs = os.path.join(args.root, "digits_runs")
     materialize(data)
 
-    fixed_top1, fixed_s, fixed_tr = run_fixed(
-        data, os.path.join(runs, "fixed"), args.model, args.epochs)
-    auto_top1, auto_s, auto_tr = run_autoprog(
-        data, os.path.join(runs, "autoprog"), args.model, args.epochs)
+    rows = []
+    for seed in args.seeds:
+        fixed_top1, fixed_s, fixed_tr = run_fixed(
+            data, os.path.join(runs, f"fixed_s{seed}"), args.model,
+            args.epochs, seed)
+        auto_top1, auto_s, auto_tr = run_autoprog(
+            data, os.path.join(runs, f"autoprog_s{seed}"), args.model,
+            args.epochs, seed)
+        rows.append((seed, fixed_top1, fixed_tr, auto_top1, auto_tr))
+        print(f"[seed {seed}] fixed {fixed_top1:.2f} ({fixed_tr:.0f}s)  "
+              f"autoprog {auto_top1:.2f} ({auto_tr:.0f}s)  "
+              f"delta {auto_top1 - fixed_top1:+.2f}  "
+              f"speedup {fixed_tr / max(auto_tr, 1e-9):.2f}x", flush=True)
 
+    import numpy as np
+    f = np.array([r[1] for r in rows])
+    a = np.array([r[3] for r in rows])
+    ft = np.array([r[2] for r in rows])
+    at = np.array([r[4] for r in rows])
     print()
-    print(f"model={args.model} epochs={args.epochs} "
+    print(f"model={args.model} epochs={args.epochs} seeds={args.seeds} "
           f"(real data: sklearn digits, 1437 train / 360 val)")
-    print(f"{'run':<12s} {'best top-1':>10s} {'train s':>8s} {'wall s':>8s}")
-    print(f"{'fixed':<12s} {fixed_top1:>10.2f} {fixed_tr:>8.1f} "
-          f"{fixed_s:>8.1f}")
-    print(f"{'autoprog':<12s} {auto_top1:>10.2f} {auto_tr:>8.1f} "
-          f"{auto_s:>8.1f}")
-    print(f"train-time speedup {fixed_tr / auto_tr:.2f}x, "
-          f"top-1 delta {auto_top1 - fixed_top1:+.2f}")
+    print(f"{'run':<12s} {'top-1 mean+/-std':>18s} {'train s':>9s}")
+    print(f"{'fixed':<12s} {f.mean():>9.2f} +/-{f.std():<5.2f} "
+          f"{ft.mean():>9.1f}")
+    print(f"{'autoprog':<12s} {a.mean():>9.2f} +/-{a.std():<5.2f} "
+          f"{at.mean():>9.1f}")
+    print(f"train-time speedup {ft.mean() / at.mean():.2f}x, "
+          f"top-1 delta {a.mean() - f.mean():+.2f} "
+          f"(per-seed deltas: {[round(x, 2) for x in (a - f).tolist()]})")
 
 
 if __name__ == "__main__":
