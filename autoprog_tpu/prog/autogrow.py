@@ -136,16 +136,43 @@ def parse_cfg(cfg: str) -> Tuple[int, int]:
 # ------------------------- probes ------------------------------------------
 
 
-def probe_candidate(ctx, loader_search, *, r: int, keep, params, batch_stats,
-                    total_steps: Optional[int] = None,
-                    with_time: bool = False) -> Dict[str, float]:
-    """Loss (and optionally step-time) probe over `total_steps` fixed-aug
-    batches (`validate_trainset`, `main_prog.py:1175-1298`)."""
-    if total_steps is None:
-        total_steps = getattr(ctx.args, "search_probe_steps", 50)
+def take_probe_batches(ctx, loader_search, total_steps: int) -> List:
+    """Materialize `total_steps` fixed-aug probe batches ONCE per search
+    epoch, pre-sharded onto the mesh, then shut the loader's worker pool
+    down.
+
+    Two reasons this is a list and not a live loader:
+      * comparability — every candidate (and every probe round) scores
+        against the IDENTICAL batches, which is what the reference's
+        fixed-aug `StoredImageDataset` was *meant* to do (its cache is
+        inert as shipped, `prog/dataset.py:33-54`, SURVEY §7.4);
+      * cost — an abandoned mid-epoch loader iterator keeps its
+        multiprocessing pool grinding the WHOLE epoch in the background
+        (Pool.imap has no consumer backpressure); 18+ probe calls per
+        search epoch were pushing tens of GB of wasted worker traffic.
+    Device residency: total_steps x one batch (e.g. 20 x 19 MB uint8 at
+    224) — small next to the model + optimizer state."""
+    loader_search.set_epoch(0)
+    batches = []
+    it = iter(loader_search)
+    for _ in range(total_steps):
+        try:
+            batches.append(shard_batch(ctx.mesh, next(it)))
+        except StopIteration:
+            break
+    close = getattr(loader_search, "close", None)
+    if close is not None:
+        close()  # stop the pool from finishing the abandoned epoch
+    return batches
+
+
+def probe_candidate(ctx, batches: Sequence, *, r: int, keep, params,
+                    batch_stats, with_time: bool = False
+                    ) -> Dict[str, float]:
+    """Loss (and optionally step-time) probe over the fixed probe batches
+    (`validate_trainset`, `main_prog.py:1175-1298`)."""
     loss_step = ctx.sb.loss_probe_step(r=r, keep=keep)
     rng = jax.random.fold_in(ctx.rng, 4242)
-    it = iter(loader_search)
     first_batch = None
     # device-side accumulation: every loss_step dispatch is async and the
     # running sum stays on device — ONE host readback per probe, not one
@@ -153,13 +180,9 @@ def probe_candidate(ctx, loader_search, *, r: int, keep, params, batch_stats,
     # per candidate; engine.train_one_epoch's discipline applied here)
     loss_sum = None
     n = 0
-    for i in range(total_steps):
-        try:
-            batch = next(it)
-        except StopIteration:
-            it = iter(loader_search)
-            batch = next(it)
-        batch = shard_batch(ctx.mesh, batch)
+    for i, batch in enumerate(batches):
+        if not isinstance(batch["image"], jax.Array):
+            batch = shard_batch(ctx.mesh, batch)
         if first_batch is None:
             first_batch = batch
         l = loss_step(params, batch_stats, batch,
@@ -211,6 +234,11 @@ def train_one_epoch_super(ctx, epoch: int, loader, loader_search, *,
             return ctx.state.ema_params[0], ctx.state.batch_stats
         return ctx.state.params, ctx.state.batch_stats
 
+    # fixed probe batches, materialized once and reused by every
+    # candidate and every probe round (see take_probe_batches)
+    probe_batches = take_probe_batches(
+        ctx, loader_search, getattr(args, "search_probe_steps", 50))
+
     # round 0: per-candidate loss + step-time probe (the timing that feeds
     # the grow criterion)
     search_rounds: List[Dict[str, Dict[str, float]]] = []
@@ -219,7 +247,7 @@ def train_one_epoch_super(ctx, epoch: int, loader, loader_search, *,
     for cfg in cfg_strs:
         r, l = parse_cfg(cfg)
         round0[cfg] = probe_candidate(
-            ctx, loader_search, r=r, keep=keep_of[l], params=probe_params,
+            ctx, probe_batches, r=r, keep=keep_of[l], params=probe_params,
             batch_stats=probe_stats, with_time=True)
     search_rounds.append(round0)
 
@@ -294,7 +322,7 @@ def train_one_epoch_super(ctx, epoch: int, loader, loader_search, *,
             for cfg in cfg_strs:
                 r_c, l_c = parse_cfg(cfg)
                 rnd[cfg] = probe_candidate(
-                    ctx, loader_search, r=r_c, keep=keep_of[l_c],
+                    ctx, probe_batches, r=r_c, keep=keep_of[l_c],
                     params=probe_params, batch_stats=probe_stats)
             search_rounds.append(rnd)
         end = time.time()

@@ -62,4 +62,10 @@ def recalibrate_bn(ctx, loader, *, r: int, keep=None,
         batch = shard_batch(ctx.mesh, batch)
         stats = step(ctx.state.params, stats, batch["image"],
                      jax.random.fold_in(rng, i))
+    # abandoning a mid-epoch iterator leaves the worker pool grinding the
+    # rest of the epoch (imap has no consumer backpressure) — shut it
+    # down; the next full iteration re-spawns it
+    close = getattr(loader, "close", None)
+    if close is not None:
+        close()
     ctx.state = ctx.state.replace(batch_stats=stats)

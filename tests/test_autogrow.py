@@ -147,3 +147,42 @@ def test_probe_candidate_times_via_chained_fori_loop(monkeypatch):
     assert chained_calls and chained_calls[0]["iters"] == 3
     assert not single_calls          # the single-dispatch path is dead
     assert out["time"] > 0 and np.isfinite(out["loss"])
+
+
+def test_take_probe_batches_fixed_and_pool_shutdown():
+    """Probe batches are materialized once (identical for every candidate
+    and round) and the search loader's worker pool is shut down — an
+    abandoned mid-epoch iterator otherwise keeps the pool grinding the
+    whole epoch in the background (no consumer backpressure)."""
+    import types
+    import jax
+    from autoprog_tpu.parallel.mesh import make_mesh
+    from autoprog_tpu.prog.autogrow import take_probe_batches
+
+    closed = []
+
+    class _FakeLoader:
+        def __init__(self):
+            self.epoch = None
+
+        def set_epoch(self, e):
+            self.epoch = e
+
+        def __iter__(self):
+            rs = np.random.default_rng(0)
+            for _ in range(8):
+                yield {"image": rs.normal(size=(8, 8, 8, 3)).astype(
+                           np.float32),
+                       "label": rs.integers(0, 5, 8).astype(np.int32)}
+
+        def close(self):
+            closed.append(True)
+
+    ctx = types.SimpleNamespace(mesh=make_mesh())
+    batches = take_probe_batches(ctx, _FakeLoader(), 3)
+    assert len(batches) == 3
+    assert closed == [True]
+    assert all(isinstance(b["image"], jax.Array) for b in batches)
+    # short epochs cap at what exists
+    closed.clear()
+    assert len(take_probe_batches(ctx, _FakeLoader(), 100)) == 8
