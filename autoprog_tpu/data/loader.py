@@ -159,7 +159,14 @@ class Loader:
     def _ensure_pool(self):
         if self.num_workers > 0 and self._pool is None:
             import multiprocessing as mp
-            ctx = mp.get_context("fork")
+            # spawn, not fork: fork children of a jax-initialized trainer
+            # inherit every open fd — including the TPU tunnel sockets —
+            # and if the trainer dies uncleanly the orphaned workers keep
+            # those sockets open, wedging the next client's attach
+            # (observed live; see also the CPython warning about forking
+            # multithreaded processes). Workers never import jax, so
+            # spawn costs only the one-time interpreter start.
+            ctx = mp.get_context("spawn")
             self._pool = ctx.Pool(
                 self.num_workers, initializer=_worker_init,
                 initargs=(self.dataset, self.transform, self.label_map_hw,
