@@ -171,6 +171,12 @@ def probe_candidate(ctx, batches: Sequence, *, r: int, keep, params,
                     ) -> Dict[str, float]:
     """Loss (and optionally step-time) probe over the fixed probe batches
     (`validate_trainset`, `main_prog.py:1175-1298`)."""
+    # compile-progress breadcrumb: a cold probe program can take tens of
+    # minutes to compile on a remote-compile backend (observed 60+ min for
+    # the first boundary-1 candidate through the TPU tunnel) — without
+    # these lines the search phase is indistinguishable from a hang
+    _logger.info("probe r%d keep=%s: loss probe (first dispatch compiles)",
+                 r, "full" if keep is None else sum(keep[0]) + sum(keep[1]))
     loss_step = ctx.sb.loss_probe_step(r=r, keep=keep)
     rng = jax.random.fold_in(ctx.rng, 4242)
     first_batch = None
@@ -199,6 +205,7 @@ def probe_candidate(ctx, batches: Sequence, *, r: int, keep, params,
         iters = int(getattr(ctx.args, "search_time_iters", 10))
         multi = ctx.sb.chained_throughput_probe(r=r, keep=keep, iters=iters)
         t_rng = jax.random.fold_in(rng, 10_000)
+        _logger.info("probe r%d: chained time probe (compile+warm)", r)
         float(multi(params, batch_stats, first_batch, t_rng))  # compile+warm
         t0 = time.perf_counter()
         float(multi(params, batch_stats, first_batch,
@@ -238,6 +245,8 @@ def train_one_epoch_super(ctx, epoch: int, loader, loader_search, *,
     # candidate and every probe round (see take_probe_batches)
     probe_batches = take_probe_batches(
         ctx, loader_search, getattr(args, "search_probe_steps", 50))
+    _logger.info("search: %d probe batches materialized; round-0 probes "
+                 "for %s", len(probe_batches), list(cfg_strs))
 
     # round 0: per-candidate loss + step-time probe (the timing that feeds
     # the grow criterion)
@@ -287,6 +296,7 @@ def train_one_epoch_super(ctx, epoch: int, loader, loader_search, *,
             # loop never stalls on a mid-epoch compile (SURVEY §7.3.1)
             for r_c in r_list:
                 for l_c in l_list:
+                    _logger.info("AOT warmup: train step r%d l%d", r_c, l_c)
                     ctx.sb.warmup_train_step(
                         r=r_c, keep=keep_of[l_c], splits=splits,
                         re_prob=device_re,
