@@ -177,9 +177,44 @@ class Loader:
             _WORKER_STATE["inline"] = True
 
     def close(self):
-        if self._pool is not None:
-            self._pool.terminate()
-            self._pool = None
+        pool, self._pool = self._pool, None
+        if pool is None:
+            return
+        # Pool.terminate() deadlocks when called mid-imap: an idle worker
+        # blocks in inqueue.recv() HOLDING the queue's process-shared
+        # rlock, and terminate's _help_stuff_finish() then blocks forever
+        # acquiring that same rlock (observed live: the flagship rehearsal
+        # hung 2h at a stage boundary, main thread + one worker parked on
+        # the same shared futex). Teardown order that cannot deadlock the
+        # trainer:
+        #   1. stop the worker-handler thread first so it cannot respawn
+        #      workers we are about to kill;
+        #   2. SIGKILL the worker processes — the only other holders of
+        #      the queue locks;
+        #   3. run the Pool's own terminate() on a daemon thread with a
+        #      bounded join: if a killed worker died holding a lock, the
+        #      acquire inside terminate can still hang, but it hangs a
+        #      disposable thread, not the trainer. Finalize pops itself
+        #      from the registry at call entry, so interpreter exit will
+        #      not re-run (and re-hang) the teardown.
+        try:
+            import multiprocessing.pool as mpp
+            pool._worker_handler._state = mpp.TERMINATE
+        except Exception:
+            pass
+        for p in list(getattr(pool, "_pool", [])):
+            try:
+                p.kill()
+            except Exception:
+                pass
+        for p in list(getattr(pool, "_pool", [])):
+            try:
+                p.join(timeout=2)
+            except Exception:
+                pass
+        t = threading.Thread(target=pool.terminate, daemon=True)
+        t.start()
+        t.join(timeout=10)
 
     def __del__(self):
         # stage rebuilds replace loaders; make sure worker pools die with

@@ -251,7 +251,13 @@ def make_search_loader(ctx: TrainContext) -> Loader:
         vflip=args.vflip, auto_augment=args.aa,
         interpolation=args.train_interpolation,
         mean=ctx.data_config["mean"], std=ctx.data_config["std"],
-        num_workers=args.workers, seed=args.seed,
+        # inline (no worker pool): the search loader only ever
+        # materializes ~search_probe_steps fixed batches once per stage
+        # boundary (take_probe_batches), then gets torn down mid-imap —
+        # the exact access pattern that armed the Pool.terminate()
+        # deadlock (see Loader.close). Generating ~20 batches inline
+        # costs seconds once per boundary and is bit-deterministic.
+        num_workers=0, seed=args.seed,
         process_index=jax.process_index(),
         process_count=jax.process_count())
 

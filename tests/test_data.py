@@ -74,6 +74,33 @@ def test_loader_multiprocess_matches_len():
         ld.close()
 
 
+def test_loader_close_mid_epoch_does_not_deadlock():
+    # Regression: Pool.terminate() mid-imap can deadlock — an idle worker
+    # blocks in inqueue.recv() holding the queue's shared rlock, and
+    # _help_stuff_finish() blocks forever acquiring it (took down the
+    # flagship rehearsal at a stage boundary for 2h). take_probe_batches'
+    # pattern: consume a few batches, abandon the iterator, close().
+    import time
+
+    ds = SyntheticDataset(size=64, num_classes=5, image_size=40)
+    ld = Loader(ds, batch_size=8, is_training=True,
+                transform=TrainTransform(size=32), num_workers=2)
+    it = iter(ld)
+    next(it)  # pool spun up, imap in flight
+    time.sleep(1.5)  # let workers finish every chunk and park in recv()
+    done = []
+
+    def _close():
+        ld.close()
+        done.append(True)
+
+    import threading
+    t = threading.Thread(target=_close, daemon=True)
+    t.start()
+    t.join(timeout=30)
+    assert done, "Loader.close() deadlocked mid-imap"
+
+
 def test_loader_process_sharding_partitions():
     ds = SyntheticDataset(size=32, num_classes=5, image_size=40)
     seen = []
