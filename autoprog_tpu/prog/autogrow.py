@@ -176,7 +176,7 @@ def probe_candidate(ctx, batches: Sequence, *, r: int, keep, params,
     # the first boundary-1 candidate through the TPU tunnel) — without
     # these lines the search phase is indistinguishable from a hang
     _logger.info("probe r%d keep=%s: loss probe (first dispatch compiles)",
-                 r, "full" if keep is None else sum(keep[0]) + sum(keep[1]))
+                 r, "full" if keep is None else sum(sum(k) for k in keep))
     loss_step = ctx.sb.loss_probe_step(r=r, keep=keep)
     rng = jax.random.fold_in(ctx.rng, 4242)
     first_batch = None

@@ -132,6 +132,38 @@ def test_main_prog_autogrow_full_pipeline(tmp_path):
     assert g.glob(str(tmp_path / "train" / "*" / "last.ckpt"))
 
 
+def test_main_prog_resume_into_search_boundary(tmp_path):
+    """Resume from a mid-stage checkpoint whose next epoch IS an
+    auto-grow boundary: the trainer must rebuild the stage arch from the
+    checkpoint, run the supernet search, and finish. This is the exact
+    shape of the flagship rehearsal resume (epoch-2 ckpt -> boundary-1
+    search) that repeatedly hung on the Pool.terminate deadlock."""
+    import glob as g
+
+    from autoprog_tpu import main_prog
+
+    cfg = ["synthetic://", "--model", "deit_h2_l4", "--num-classes", "8",
+           "-b", "16", "--warmup-epochs", "1", "--cooldown-epochs", "0",
+           "--lr", "1e-3", "--workers", "0", "--fake-data-size", "64",
+           "--no-bf16", "--img-size", "32", "--epochs", "6",
+           "--num-stages", "3", "--r-scale", "1.0", "--l-scale", "0.5",
+           "--drop-path", "0.0", "--auto-grow", "--search-epochs", "1",
+           "--search-probe-steps", "2", "--load-with-clone-ema",
+           "--model-ema", "--model-ema-decay", "0.9"]
+    main_prog.main(cfg + ["--output", str(tmp_path)])
+    # epoch-1 snapshot: stage-0 arch, next epoch (2) is a search boundary
+    snap = g.glob(str(tmp_path / "train" / "*" / "checkpoint-1.ckpt"))[0]
+    best = main_prog.main(cfg + ["--resume", snap,
+                                 "--output", str(tmp_path / "resumed")])
+    assert best is not None
+    hist = main_prog.LAST_CTX.stage_history
+    # the resumed process traversed the epoch-2 boundary (searched stage)
+    assert any(e.get("epoch") == 2 and e.get("stage") == 1 for e in hist)
+    # search checkpoints prove the supernet search ran in the resumed run
+    assert g.glob(str(tmp_path / "resumed" / "train" / "*" /
+                      "last-search.ckpt"))
+
+
 def test_main_prog_autogrow_deit(tmp_path):
     """The auto-grow supernet machinery on the SECOND model family:
     DeiT's single transformer stage takes a 1-tuple keep mask
