@@ -177,9 +177,13 @@ def build_parser(prog: bool = False) -> argparse.ArgumentParser:
     g.add_argument("--uint8-pipe", action="store_true", default=False,
                    help="send uint8 images to the device and normalize/"
                         "random-erase on-chip (4x less host->device data)")
-    g.add_argument("--remat", action="store_true", default=False,
-                   help="rematerialize transformer blocks in the backward "
-                        "pass (jax.checkpoint) to trade FLOPs for HBM")
+    g.add_argument("--remat", nargs="?", const="full", default="",
+                   choices=["full", "dots"],
+                   help="rematerialize blocks in the backward pass "
+                        "(jax.checkpoint) to trade FLOPs for HBM traffic: "
+                        "bare --remat stores only block inputs; "
+                        "'--remat dots' keeps matmul outputs resident and "
+                        "recomputes only elementwise/norm intermediates")
     g.add_argument("--channels-last", action="store_true", default=False, help="compat no-op")
     g.add_argument("--pin-mem", action="store_true", default=False, help="compat no-op")
     g.add_argument("--no-prefetcher", action="store_true", default=False)

@@ -14,12 +14,13 @@ prog/growth.py treat VOLO and DeiT uniformly.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
 
-from autoprog_tpu.models.layers import TransformerBlock, dense, trunc_init
+from autoprog_tpu.models.layers import (TransformerBlock, dense,
+                                        remat_wrap, trunc_init)
 from autoprog_tpu.ops.interpolate import resize_bicubic
 
 
@@ -37,7 +38,7 @@ class VisionTransformer(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
-    remat: bool = False
+    remat: Any = False  # False | True/"full" | "dots" (layers.remat_wrap)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False,
@@ -81,8 +82,7 @@ class VisionTransformer(nn.Module):
         x = x + pe.astype(self.dtype)
         x = nn.Dropout(self.drop_rate)(x, deterministic=not train)
 
-        BlockCls = nn.remat(TransformerBlock) if self.remat else \
-            TransformerBlock
+        BlockCls = remat_wrap(TransformerBlock, self.remat)
         for i in range(self.depth):
             if keep_flat[i]:
                 dp = (self.drop_path_rate * i / max(self.depth - 1, 1))

@@ -20,7 +20,7 @@ the supernet search needs.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -31,6 +31,7 @@ from autoprog_tpu.models.layers import (
     Outlooker,
     PatchEmbed,
     TransformerBlock,
+    remat_wrap,
     trunc_init,
     dense,
 )
@@ -66,7 +67,7 @@ class VOLO(nn.Module):
     aux_fusion: str = "max"  # eval fusion over aux tokens: "max" | "mean"
     dtype: jnp.dtype = jnp.bfloat16
     sync_bn_axis: Optional[str] = None
-    remat: bool = False
+    remat: Any = False  # False | True/"full" | "dots" (layers.remat_wrap)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False,
@@ -121,10 +122,9 @@ class VOLO(nn.Module):
                 pos_added = True
             for i in range(self.layers[s]):
                 if keep[s][i]:
-                    OutlookerCls = nn.remat(Outlooker, static_argnums=()) \
-                        if self.remat else Outlooker
-                    TransformerCls = nn.remat(TransformerBlock) \
-                        if self.remat else TransformerBlock
+                    OutlookerCls = remat_wrap(Outlooker, self.remat,
+                                              static_argnums=())
+                    TransformerCls = remat_wrap(TransformerBlock, self.remat)
                     if self.outlook_attention[s]:
                         x = OutlookerCls(
                             num_heads=self.num_heads[s],
