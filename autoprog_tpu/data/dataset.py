@@ -407,6 +407,11 @@ def create_dataset(name: str, root: str, split: str = "train",
         ds = SyntheticDataset(
             size=fake_size, num_classes=num_classes, image_size=image_size,
             token_label_hw=14 if token_label_root else None)
+    elif name == "procgen" or root.startswith("procgen://"):
+        from autoprog_tpu.data.procgen import ProcGenDataset
+        ds = ProcGenDataset(
+            size=fake_size, num_classes=num_classes, image_size=image_size,
+            split=split, token_label_hw=14 if token_label_root else None)
     elif name.startswith("tfds/"):
         ds = TFDSImageDataset(name[len("tfds/"):], root, split=split,
                               is_training=is_training, seed=seed)

@@ -288,3 +288,37 @@ def test_mixup_seed_varies_by_batch_index():
     lam0 = float(t0.max(-1)[0])
     lam1 = float(t1.max(-1)[0])
     assert lam0 != pytest.approx(lam1)
+
+
+def test_procgen_dataset_contract():
+    """procgen:// — deterministic per (seed, split, index), balanced
+    labels, val split disjoint from train, class structure shared."""
+    import numpy as np
+
+    from autoprog_tpu.data.dataset import create_dataset
+    from autoprog_tpu.data.procgen import ProcGenDataset
+
+    ds = create_dataset("", "procgen://", num_classes=7, fake_size=21,
+                        image_size=32)
+    # factory wraps in nothing for eval; train path may FixedAug-wrap
+    base = getattr(ds, "dataset", ds)
+    assert isinstance(base, ProcGenDataset)
+    assert len(ds) == 21
+
+    img_a, lab_a, _ = base.load(3)
+    img_b, lab_b, _ = base.load(3)
+    assert lab_a == lab_b == 3 % 7
+    assert np.array_equal(np.asarray(img_a), np.asarray(img_b))
+
+    labels = [base.load(i)[1] for i in range(21)]
+    assert all(labels.count(c) == 3 for c in range(7))  # balanced
+
+    val = ProcGenDataset(size=21, num_classes=7, image_size=32,
+                         split="validation")
+    img_v, lab_v, _ = val.load(3)
+    assert lab_v == lab_a  # same class at same index
+    assert not np.array_equal(np.asarray(img_a), np.asarray(img_v))
+
+    # samples are not degenerate: shapes visible over background
+    arr = np.asarray(img_a, np.float32)
+    assert arr.std() > 10.0
