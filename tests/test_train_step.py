@@ -193,3 +193,42 @@ def test_volo_train_step_with_token_labels():
     step2 = sb.train_step(r=32, keep=keep, splits=1)
     state, m2 = step2(state, batch, 1e-3, jax.random.PRNGKey(1))
     assert np.isfinite(float(m2["loss"]))
+
+
+def test_remat_modes_preserve_training_numerics():
+    """--remat (full or dots) is a memory/time trade only: one train step
+    must produce the same updated params as the non-remat step (f32,
+    identical rngs). Guards the jax.checkpoint wiring in models/."""
+    args = make_args()
+    rng = np.random.default_rng(3)
+    batch = make_batch(rng, b=4, s=32, c=10)
+    results = {}
+    for mode in ("", "full", "dots"):
+        mdef = create_model("volo_h2_l2")
+        model = mdef.make(num_classes=10, img_size=32, dtype=jnp.float32,
+                          remat=mode)
+        variables = jax.jit(lambda m=model: m.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1),
+             "mixtoken": jax.random.PRNGKey(2)},
+            jnp.zeros((1, 32, 32, 3)), train=True))()
+        tx = create_optimizer(args, variables["params"])
+        sb = StepBuilder(model=model, tx=tx,
+                         train_loss=build_train_loss(args),
+                         num_classes=10, donate=False)
+        state = TrainState.create(params=variables["params"],
+                                  batch_stats=variables.get(
+                                      "batch_stats", {}), tx=tx)
+        step = sb.train_step(r=32, splits=1)
+        new_state, metrics = step(state, batch, 1e-3, jax.random.PRNGKey(7))
+        results[mode] = (jax.device_get(new_state.params),
+                         float(metrics["loss"]))
+
+    base_params, base_loss = results[""]
+    for mode in ("full", "dots"):
+        p, loss = results[mode]
+        assert loss == pytest.approx(base_loss, rel=1e-6)
+        flat_a = jax.tree.leaves(base_params)
+        flat_b = jax.tree.leaves(p)
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
