@@ -94,10 +94,11 @@ def main():
         sb = StepBuilder(model=model, tx=tx,
                          train_loss=build_train_loss(largs),
                          ema_decays=ema_decays, num_classes=1000,
-                         token_label=True, has_token_label_data=True,
-                         donate=False)
+                         token_label=True, has_token_label_data=True)
         step = sb.train_step(r=img, splits=1)
-        t, _ = time_step(step, state0, data, 1.6e-3, rng, iters=iters)
+        # chain the (donated) state through the modes — params/opt shapes
+        # are identical, and keeping a second live copy would add ~750 MB
+        t, state0 = time_step(step, state0, data, 1.6e-3, rng, iters=iters)
         results[mode] = t
         print(f"remat={mode:<5s} {t * 1e3:8.2f} ms/step  "
               f"{batch / t:7.1f} img/s", flush=True)
