@@ -26,6 +26,7 @@ TPU-native notes:
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -184,6 +185,10 @@ def probe_candidate(ctx, batches: Sequence, *, r: int, keep, params,
     # running sum stays on device — ONE host readback per probe, not one
     # per step (a per-step float() pays the 3-7 ms tunnel sync 50 times
     # per candidate; engine.train_one_epoch's discipline applied here)
+    # AUTOPROG_SYNC_SEARCH=1 restores the legacy per-step float() sync —
+    # kept ONLY so the de-sync win stays measurable on hardware
+    # (scripts/ab_search_sync.sh, PERF.md "search loop de-synced")
+    sync_legacy = os.environ.get("AUTOPROG_SYNC_SEARCH") == "1"
     loss_sum = None
     n = 0
     for i, batch in enumerate(batches):
@@ -193,6 +198,8 @@ def probe_candidate(ctx, batches: Sequence, *, r: int, keep, params,
             first_batch = batch
         l = loss_step(params, batch_stats, batch,
                       jax.random.fold_in(rng, i))
+        if sync_legacy:
+            l = float(l)
         loss_sum = l if loss_sum is None else loss_sum + l
         n += 1
     out = {"loss": float(loss_sum) / max(n, 1)}
@@ -306,6 +313,8 @@ def train_one_epoch_super(ctx, epoch: int, loader, loader_search, *,
                                  re_prob=device_re)
         state, metrics = step(state, batch, lr, ctx.rng)
         pending.append((r_idx, l_idx, metrics["loss"]))
+        if os.environ.get("AUTOPROG_SYNC_SEARCH") == "1":
+            drain()  # legacy per-step host sync, for the A/B only
         batch_time.update(time.time() - end)
 
         if batch_idx % args.log_interval == 0 or batch_idx == nb - 1 or \
