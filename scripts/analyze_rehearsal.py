@@ -75,9 +75,21 @@ def epoch_times(events):
     return {k: dict(v, wall=v["end"] - v["start"]) for k, v in out.items()}
 
 
-def summarize(path: str, label: str):
-    ev = parse(path)
-    et = epoch_times(ev)
+def summarize(path, label: str):
+    """`path` is one log or a list of logs from a resumed run: later
+    attempts override earlier ones per (kind, epoch) — a resume re-runs
+    its landing epoch, and the attempt that completed it is
+    authoritative (the round-3 rehearsal spanned 3 attempts across two
+    tunnel outages; PERF.md's per-epoch table is this function's
+    output)."""
+    paths = [path] if isinstance(path, str) else list(path)
+    ev = []
+    et = {}
+    for p in paths:
+        ev_p = parse(p)
+        ev.extend(ev_p)
+        et.update(epoch_times(ev_p))
+    path = " + ".join(paths)
     stages = [e for e in ev if e["kind"] == "stage"]
     decisions = [e for e in ev if e["kind"] == "decision"]
     evals = [e for e in ev if e["kind"] == "eval"]
@@ -102,9 +114,18 @@ def summarize(path: str, label: str):
 
 
 def main():
-    summarize(sys.argv[1], "autoprog")
-    if len(sys.argv) > 2:
-        summarize(sys.argv[2], "fixed")
+    argv = sys.argv[1:]
+    if "--fixed" in argv:
+        i = argv.index("--fixed")
+        auto, fixed = argv[:i], argv[i + 1:]
+        summarize(auto, "autoprog (stitched)" if len(auto) > 1
+                  else "autoprog")
+        if fixed:
+            summarize(fixed[0], "fixed")
+        return
+    summarize(argv[0], "autoprog")
+    if len(argv) > 1:
+        summarize(argv[1], "fixed")
 
 
 if __name__ == "__main__":
