@@ -77,6 +77,11 @@ def run_autoprog(a, out: str, seed: int):
 
 
 def main() -> None:
+    # must run before the first jax touch (common_flags calls
+    # jax.devices()): the TPU plugin ignores the raw JAX_PLATFORMS env
+    # var, so without this a CPU-intended run initializes the TPU client
+    from autoprog_tpu.platform import apply_platform_env
+    apply_platform_env()
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--model", default="volo_h4_l8")

@@ -109,6 +109,10 @@ def run_autoprog(data: str, out: str, model: str, epochs: int, seed: int):
 
 
 def main() -> None:
+    # before the first jax touch: the TPU plugin ignores the raw
+    # JAX_PLATFORMS env var (see autoprog_tpu/platform.py)
+    from autoprog_tpu.platform import apply_platform_env
+    apply_platform_env()
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--model", default="volo_h2_l4")
