@@ -58,8 +58,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from autoprog_tpu.platform import enable_compilation_cache
-    enable_compilation_cache()
+    # routes JAX_PLATFORMS through jax.config (the TPU plugin ignores the
+    # raw env var) and enables the persistent compile cache; on the
+    # driver's TPU runs the env var is unset so behavior is unchanged
+    from autoprog_tpu.platform import apply_platform_env
+    apply_platform_env()
 
     from autoprog_tpu.losses import build_train_loss
     from autoprog_tpu.prog.depth import elastic_keep_masks
