@@ -19,6 +19,57 @@ def apply_platform_env() -> None:
     enable_compilation_cache()
 
 
+def ensure_backend_alive(timeout: float = 300.0) -> None:
+    """Fail fast (RuntimeError) instead of hanging when the accelerator
+    backend is unreachable.
+
+    Initializing JAX against a dead TPU tunnel blocks ~25 min per attempt
+    (observed round 3: BENCH/MULTICHIP rc=124). This probes the backend in
+    a THROWAWAY subprocess with a hard deadline before the caller commits
+    its own process to `jax.devices()`. The probe is skipped when:
+      - the platform is forced to cpu (nothing remote to probe), or
+      - JAX already has live backends in this process (probing then would
+        violate the one-TPU-client-at-a-time constraint), or
+      - AUTOPROG_NO_LIVENESS_PROBE=1.
+    A healthy backend answers in seconds; the default 300 s deadline is
+    ~60x that, so a live-but-slow backend is never misdiagnosed."""
+    import subprocess
+    import sys
+
+    if os.environ.get("AUTOPROG_NO_LIVENESS_PROBE") == "1":
+        return
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return
+    if "jax" in sys.modules:
+        try:
+            import jax
+            if (jax.config.jax_platforms or "").strip().lower() == "cpu":
+                return  # platform forced to cpu via jax.config
+            from jax._src import xla_bridge
+            if getattr(xla_bridge, "_backends", None):
+                return  # backend already up in-process: provably alive
+        except Exception:
+            pass
+    timeout = float(os.environ.get("AUTOPROG_LIVENESS_TIMEOUT", timeout))
+    code = ("import jax\n"
+            "print('AUTOPROG_BACKEND_OK', len(jax.devices()),"
+            " jax.devices()[0].platform)\n")
+    try:
+        res = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        raise RuntimeError(
+            f"accelerator backend did not initialize within {timeout:.0f}s "
+            "— TPU tunnel/relay presumed dead (probe subprocess killed; "
+            "set JAX_PLATFORMS=cpu to run on host, or "
+            "AUTOPROG_NO_LIVENESS_PROBE=1 to skip this check)")
+    if res.returncode != 0 or "AUTOPROG_BACKEND_OK" not in res.stdout:
+        tail = (res.stderr or res.stdout).strip().splitlines()[-5:]
+        raise RuntimeError(
+            "accelerator backend probe failed rc=%d: %s"
+            % (res.returncode, " | ".join(tail)))
+
+
 def enable_compilation_cache(path: str = "") -> None:
     """Persistent XLA compilation cache (reference analogue: cuDNN
     autotune cache + torch.compile caches). First compiles of the VOLO

@@ -55,13 +55,27 @@ def time_step(step, state, batch, lr, rng, iters=10, warmup=None):
 def main():
     import argparse
 
+    # Fail fast with one diagnosable JSON line instead of hanging when the
+    # accelerator backend is unreachable (round-3 BENCH rc=124: two ~25 min
+    # backend-init attempts against a dead TPU tunnel, then driver timeout).
+    from autoprog_tpu.platform import apply_platform_env, ensure_backend_alive
+    try:
+        ensure_backend_alive()
+    except RuntimeError as e:
+        import sys
+        print(json.dumps({
+            "metric": "volo_d1_train_imgs_per_sec_per_chip",
+            "value": 0.0, "unit": "img/s", "vs_baseline": 0.0,
+            "error": str(e),
+        }))
+        sys.exit(1)
+
     import jax
     import jax.numpy as jnp
 
     # routes JAX_PLATFORMS through jax.config (the TPU plugin ignores the
     # raw env var) and enables the persistent compile cache; on the
     # driver's TPU runs the env var is unset so behavior is unchanged
-    from autoprog_tpu.platform import apply_platform_env
     apply_platform_env()
 
     from autoprog_tpu.losses import build_train_loss

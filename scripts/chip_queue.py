@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Chip-work queue runner: survives TPU tunnel outages and sessions.
+
+The axon TPU tunnel can die for hours (round-3 postmortem: the relay
+process was killed externally and every JAX client then hangs ~25 min at
+backend init). Queued on-chip runs (benches, A/Bs) used to live in ad-hoc
+/tmp scripts that died with the session; this runner makes the queue a
+repo artifact:
+
+  - Jobs are bash snippets in `output/chip_jobs/NN_name.sh`, executed in
+    lexical order with cwd=repo root; stdout+stderr go to the job's
+    `.log`; on success the job file is renamed `.done`, on failure
+    `.fail` (and the queue continues).
+  - Before each job the runner waits for TPU health, probing CHEAPLY:
+    a TCP connect to the relay port (default 8082) every 60 s — never a
+    JAX client, which would burn ~25 min hanging per attempt — then one
+    bounded device-math probe subprocess once the port is open.
+  - A hard deadline (--hours from launch) stops the runner from STARTING
+    new jobs, so it cannot collide with the driver's own end-of-round
+    bench run (one TPU client at a time).
+  - A pidfile lock prevents two runners.
+
+Launch detached so it survives the session:
+    setsid nohup python scripts/chip_queue.py --hours 9 \
+        </dev/null >> output/chip_jobs/runner.log 2>&1 &
+
+The reference has no analogue (its GPUs are local); this is the
+operational layer the tunneled-TPU environment demands.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import socket
+import subprocess
+import sys
+import time
+
+ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+QDIR = os.path.join(ROOT, "output", "chip_jobs")
+
+
+def log(msg: str) -> None:
+    print(f"[chip_queue] {time.strftime('%Y-%m-%d %H:%M:%S')} {msg}",
+          flush=True)
+
+
+def relay_port_open(port: int) -> bool:
+    try:
+        s = socket.create_connection(("127.0.0.1", port), 2)
+        s.close()
+        return True
+    except OSError:
+        return False
+
+
+def device_probe(timeout: float = 300.0) -> bool:
+    """One bounded end-to-end device-math probe in a throwaway process."""
+    code = ("import jax, jax.numpy as jnp\n"
+            "x = jnp.ones((256, 256))\n"
+            "print('PROBE_OK', float((x @ x).sum()), "
+            "jax.devices()[0].platform)\n")
+    try:
+        res = subprocess.run([sys.executable, "-c", code], cwd=ROOT,
+                             capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return False
+    return res.returncode == 0 and "PROBE_OK" in res.stdout
+
+
+def wait_healthy(port: int, deadline: float) -> bool:
+    """Block until the TPU answers a device probe or the deadline passes."""
+    while time.time() < deadline:
+        if not relay_port_open(port):
+            time.sleep(60)
+            continue
+        log(f"relay port {port} open; settling 60s then device-probing")
+        time.sleep(60)
+        if device_probe():
+            log("TPU healthy")
+            return True
+        log("device probe failed; sleeping 120s")
+        time.sleep(120)
+    return False
+
+
+def pending_jobs() -> list:
+    os.makedirs(QDIR, exist_ok=True)
+    return sorted(f for f in os.listdir(QDIR)
+                  if f.endswith(".sh") and not f.startswith("."))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--hours", type=float, default=9.0,
+                   help="stop starting new jobs this many hours from now")
+    p.add_argument("--port", type=int, default=8082,
+                   help="tunnel relay TCP port to watch")
+    a = p.parse_args()
+    deadline = time.time() + a.hours * 3600
+
+    os.makedirs(QDIR, exist_ok=True)
+    pidfile = os.path.join(QDIR, ".runner.pid")
+    if os.path.exists(pidfile):
+        with open(pidfile) as f:
+            old = f.read().strip()
+        if old and os.path.exists(f"/proc/{old}"):
+            log(f"runner already alive (pid {old}); exiting")
+            return
+    with open(pidfile, "w") as f:
+        f.write(str(os.getpid()))
+
+    log(f"watching port {a.port}; deadline in {a.hours:.1f}h; "
+        f"queue: {pending_jobs()}")
+    try:
+        while time.time() < deadline:
+            jobs = pending_jobs()
+            if not jobs:
+                time.sleep(60)
+                continue
+            if not wait_healthy(a.port, deadline):
+                break
+            job = jobs[0]
+            path = os.path.join(QDIR, job)
+            logpath = path[:-3] + ".log"
+            log(f"running {job} -> {os.path.basename(logpath)}")
+            t0 = time.time()
+            with open(logpath, "a") as lf:
+                rc = subprocess.call(["bash", path], cwd=ROOT,
+                                     stdout=lf, stderr=subprocess.STDOUT)
+            dt = time.time() - t0
+            mark = ".done" if rc == 0 else ".fail"
+            os.rename(path, path[:-3] + mark)
+            log(f"{job} rc={rc} ({dt:.0f}s) -> {mark}")
+        log("deadline reached or tunnel never returned; exiting. "
+            f"remaining: {pending_jobs()}")
+    finally:
+        try:
+            os.remove(pidfile)
+        except OSError:
+            pass
+
+
+if __name__ == "__main__":
+    main()
