@@ -85,6 +85,11 @@ def build_parser(prog: bool = False) -> argparse.ArgumentParser:
     g.add_argument("--clip-grad", type=float, default=None)
     g.add_argument("--clip-mode", type=str, default="norm",
                    help="gradient clipping mode: norm, value, agc")
+    g.add_argument("--adam-mu-bf16", action="store_true", default=False,
+                   help="store Adam's first moment in bfloat16 (b1=0.9 "
+                        "increments are ~10%% relative, far above bf16 ulp "
+                        "— safe without stochastic rounding; saves one "
+                        "param-sized f32 HBM read+write pair per step)")
 
     # LR schedule
     g = parser.add_argument_group("lr schedule")
@@ -92,9 +97,13 @@ def build_parser(prog: bool = False) -> argparse.ArgumentParser:
                    help="cosine | tanh | step | constant")
     g.add_argument("--lr", type=float, default=1.6e-3)
     g.add_argument("--lr-noise", type=float, nargs="+", default=None,
-                   help="compat no-op (schedule noise)")
-    g.add_argument("--lr-noise-pct", type=float, default=0.67, help="compat no-op")
-    g.add_argument("--lr-noise-std", type=float, default=1.0, help="compat no-op")
+                   help="schedule noise on/off epoch fractions "
+                        "(timm 0.4.5 semantics, train/optim.py)")
+    g.add_argument("--lr-noise-pct", type=float, default=0.67,
+                   help="noise truncation limit")
+    g.add_argument("--lr-noise-std", type=float, default=1.0,
+                   help="accepted for CLI parity; timm 0.4.5 never applies "
+                        "it in the normal-noise path (replicated literally)")
     g.add_argument("--lr-cycle-mul", type=float, default=1.0)
     g.add_argument("--lr-cycle-limit", type=int, default=1)
     g.add_argument("--warmup-lr", type=float, default=1e-6)
@@ -160,6 +169,10 @@ def build_parser(prog: bool = False) -> argparse.ArgumentParser:
     g.add_argument("--model-ema", action="store_true", default=False)
     g.add_argument("--model-ema-decay", nargs="+", type=float, default=[0.99992],
                    help="one EMA tree is kept per decay value")
+    g.add_argument("--model-ema-bf16", action="store_true", default=False,
+                   help="store EMA trees in bfloat16 with stochastic "
+                        "rounding (halves the EMA sweeps' HBM traffic; "
+                        "ops/rounding.py)")
 
     # Misc
     g = parser.add_argument_group("misc")

@@ -282,7 +282,26 @@ class TFRecordImageDataset(IterableImageDataset):
         rng = np.random.RandomState(self.seed + epoch)
         if self.is_training:
             rng.shuffle(files)
-        files = files[shard_index::shard_count]
+        if len(files) >= shard_count:
+            # file-granularity sharding (tf.data files.shard analogue);
+            # per-epoch file shuffle evens any count imbalance over time
+            shard_files = files[shard_index::shard_count]
+
+            def records():
+                for f in shard_files:
+                    yield from read_records(f)
+        else:
+            # fewer files than shards: shard at RECORD granularity
+            # (round-robin) — file-level sharding would hand some hosts
+            # zero records, stalling them at the epoch-boundary
+            # collective in multi-host training
+            def records():
+                i = 0
+                for f in files:
+                    for rec in read_records(f):
+                        if i % shard_count == shard_index:
+                            yield rec
+                        i += 1
 
         def emit(rec):
             enc, lab = scan_example(rec)
@@ -292,23 +311,21 @@ class TFRecordImageDataset(IterableImageDataset):
             return RawJpeg(enc), lab + self.label_offset, None
 
         if not (self.is_training and self.shuffle_buffer):
-            for f in files:
-                for rec in read_records(f):
-                    yield emit(rec)
+            for rec in records():
+                yield emit(rec)
             return
         # streaming shuffle: keep `shuffle_buffer` raw records resident
         # and emit a uniformly-chosen one per arrival (same contract as
         # tf.data's shuffle(buffer) at a fraction of the cost — buffers
         # are raw payload bytes, never feature tensors)
         buf: List[bytes] = []
-        for f in files:
-            for rec in read_records(f):
-                if len(buf) < self.shuffle_buffer:
-                    buf.append(rec)
-                    continue
-                j = int(rng.randint(len(buf)))
-                out, buf[j] = buf[j], rec
-                yield emit(out)
+        for rec in records():
+            if len(buf) < self.shuffle_buffer:
+                buf.append(rec)
+                continue
+            j = int(rng.randint(len(buf)))
+            out, buf[j] = buf[j], rec
+            yield emit(out)
         rng.shuffle(buf)
         for rec in buf:
             yield emit(rec)

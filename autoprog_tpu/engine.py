@@ -103,9 +103,11 @@ def init_model_state(ctx: TrainContext, model_name: str, dp: float,
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = create_optimizer(args, params)
+    ema_dtype = jnp.bfloat16 if getattr(args, "model_ema_bf16", False) \
+        else None
     state = TrainState.create(params=params, batch_stats=batch_stats, tx=tx,
                               ema_decays=ctx.ema_decays if args.model_ema
-                              else ())
+                              else (), ema_dtype=ema_dtype)
     state = replicate(ctx.mesh, state)
     if getattr(args, "model_parallel", 1) > 1:
         from autoprog_tpu.parallel.tp import shard_state_tp, validate_tp
@@ -120,7 +122,7 @@ def init_model_state(ctx: TrainContext, model_name: str, dp: float,
         token_label=args.token_label,
         has_token_label_data=bool(args.token_label_data),
         norm_mean=ctx.data_config["mean"], norm_std=ctx.data_config["std"],
-        re_count=getattr(args, "recount", 1))
+        re_count=getattr(args, "recount", 1), ema_dtype=ema_dtype)
     ctx.mdef, ctx.model, ctx.sb, ctx.state, ctx.tx = mdef, model, sb, state, tx
     if ctx.is_primary:
         n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
@@ -485,6 +487,12 @@ def create_stage_model_and_state(ctx: TrainContext, new_model_name: str, *,
     new_stats = grow_batch_stats(prev_state.batch_stats, stats_template,
                                  src_layers=prev_layers,
                                  dst_layers=new_layers)
+    if getattr(args, "model_ema_bf16", False):
+        # remappers work against the f32 params template — restore the
+        # bf16 storage dtype (one-time deterministic cast; SR only
+        # matters for the small per-step increments)
+        new_ema = tuple(jax.tree.map(lambda x: x.astype(jnp.bfloat16), e)
+                        for e in new_ema)
     ctx.state = ctx.state.replace(params=replicate(ctx.mesh, new_params),
                                   batch_stats=replicate(ctx.mesh, new_stats),
                                   ema_params=replicate(ctx.mesh, new_ema))

@@ -70,7 +70,17 @@ def _warm_collectives(mesh: Mesh) -> None:
     _WARMED = True
     compile_barrier("mesh_collective_warmup")
     import jax.numpy as jnp
-    rows = max(int(mesh.shape[DATA_AXIS]) // jax.process_count(), 1)
+    if int(mesh.shape[DATA_AXIS]) % jax.process_count() != 0:
+        # data axis smaller than (or ragged over) the process count (e.g.
+        # large model_parallel): per-process local shards would not tile
+        # the data axis — warm over a replicated array instead, which
+        # pays the same Gloo context rendezvous
+        arr = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P()), np.ones((4,), np.float32), (4,))
+        out = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(arr)
+        float(out)
+        return
+    rows = int(mesh.shape[DATA_AXIS]) // jax.process_count()
     local = np.ones((rows,), np.float32)
     arr = jax.make_array_from_process_local_data(
         NamedSharding(mesh, P(DATA_AXIS)), local)

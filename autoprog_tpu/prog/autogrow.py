@@ -114,6 +114,14 @@ def score_candidates(search_metrics: List[Dict[str, Dict[str, float]]],
                 taylor1=taylor0[cfg] + delta * 18,
                 taylor2=taylor0[cfg] + delta * 18 + delta2 * 18 ** 2 / 2,
             )
+    if extras:
+        # log the taylor extrapolation diagnostics as the reference does
+        # (`main_prog.py:1698-1730`); they inform log readers, not the
+        # argmin (parity: the reference's criterion also uses taylor0)
+        for name in ("delta", "delta2", "delta3", "taylor1", "taylor2"):
+            _logger.info("search %s: %s", name,
+                         "; ".join(f"{c}: {extras[c][name]:.4f}"
+                                   for c in cfg_strs))
     w = fit_time_exponent([time_d[c] for c in cfg_strs],
                           [taylor0[c] for c in cfg_strs])
     converge = {c: taylor0[c] * time_d[c] ** w for c in cfg_strs}
@@ -156,14 +164,23 @@ def take_probe_batches(ctx, loader_search, total_steps: int) -> List:
     loader_search.set_epoch(0)
     batches = []
     it = iter(loader_search)
-    for _ in range(total_steps):
+    while len(batches) < total_steps:
         try:
             batches.append(shard_batch(ctx.mesh, next(it)))
         except StopIteration:
-            break
+            if not batches:
+                break  # search split is empty — caller raises below
+            # search split shorter than the probe budget: wrap around so
+            # every probe still sees `total_steps` (fixed-aug) batches
+            it = iter(loader_search)
     close = getattr(loader_search, "close", None)
     if close is not None:
         close()  # stop the pool from finishing the abandoned epoch
+    if not batches:
+        raise RuntimeError(
+            "search loader yielded no probe batches — the search split is "
+            "empty (dataset smaller than one batch?); cannot score "
+            "candidates")
     return batches
 
 
@@ -189,6 +206,8 @@ def probe_candidate(ctx, batches: Sequence, *, r: int, keep, params,
     # kept ONLY so the de-sync win stays measurable on hardware
     # (scripts/ab_search_sync.sh, PERF.md "search loop de-synced")
     sync_legacy = os.environ.get("AUTOPROG_SYNC_SEARCH") == "1"
+    if not batches:
+        raise ValueError("probe_candidate called with no probe batches")
     loss_sum = None
     n = 0
     for i, batch in enumerate(batches):
@@ -200,9 +219,12 @@ def probe_candidate(ctx, batches: Sequence, *, r: int, keep, params,
                       jax.random.fold_in(rng, i))
         if sync_legacy:
             l = float(l)
-        loss_sum = l if loss_sum is None else loss_sum + l
-        n += 1
-    out = {"loss": float(loss_sum) / max(n, 1)}
+        # sample-weight by batch size so a short final batch doesn't skew
+        # the average (loss_step returns the per-batch mean)
+        bs = int(batch["image"].shape[0])
+        loss_sum = l * bs if loss_sum is None else loss_sum + l * bs
+        n += bs
+    out = {"loss": float(loss_sum) / n}
     if with_time and first_batch is not None:
         # the criterion consumes these times (`main_prog.py:1721`): chain
         # K fwd+bwd steps in ONE jitted fori_loop and sync with a D2H

@@ -214,10 +214,16 @@ def restore_state(ckpt: Dict[str, Any], state, *, restore_opt: bool = True):
     for i in range(len(state.ema_params)):
         key = f"state_dict_ema_{i}"
         if key in ckpt:
-            ema.append(serialization.from_state_dict(state.ema_params[i],
-                                                     ckpt[key]))
+            restored = serialization.from_state_dict(state.ema_params[i],
+                                                     ckpt[key])
         else:
-            ema.append(jax.tree.map(jnp.copy, params))
+            restored = jax.tree.map(jnp.copy, params)
+        # from_state_dict keeps the STORED dtype — cast to the template's
+        # so an f32 checkpoint resumes cleanly into a bf16-EMA run
+        # (--model-ema-bf16) and vice versa
+        ema.append(jax.tree.map(
+            lambda t, r: r.astype(t.dtype) if r.dtype != t.dtype else r,
+            state.ema_params[i], restored))
     return state.replace(step=jnp.asarray(ckpt.get("step", 0), jnp.int32),
                          params=params, batch_stats=batch_stats,
                          opt_state=opt_state, ema_params=tuple(ema))

@@ -62,7 +62,10 @@ def create_optimizer(args, params) -> optax.GradientTransformation:
         else:
             raise ValueError(f"unknown clip mode {args.clip_mode}")
     if opt in ("adamw", "adam"):
-        parts.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+        mu_dtype = jnp.bfloat16 if getattr(args, "adam_mu_bf16", False) \
+            else None
+        parts.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps,
+                                         mu_dtype=mu_dtype))
         if opt == "adamw" and args.weight_decay:
             parts.append(optax.add_decayed_weights(
                 args.weight_decay, mask=wd_mask(params)))
@@ -81,6 +84,44 @@ class Schedule(NamedTuple):
     num_epochs: int                # total epochs to run (incl. cooldown)
 
 
+def _noise_wrap(schedule: Schedule, args, t_initial: int) -> Schedule:
+    """timm-0.4.5 `--lr-noise` semantics (scheduler.py `_add_noise`,
+    wired by the reference at `/root/reference/main_prog.py:141-146`):
+    from epoch `lr_noise[0]*epochs` (optionally until `lr_noise[1]*epochs`),
+    perturb the epoch's LR multiplicatively by `lr * (1 + noise)` where
+    noise ~ trunc-normal resampled until |noise| < noise_pct, seeded
+    `seed + epoch` through torch's generator — reproduced here with the
+    SAME torch RNG so the noise stream is bit-identical to timm's.
+    (0.4.5 stores noise_std but never applies it in the normal path;
+    replicated literally.)"""
+    lr_noise = getattr(args, "lr_noise", None)
+    if not lr_noise:
+        return schedule
+    rng_range = [n * t_initial for n in lr_noise]
+    lo = rng_range[0]
+    hi = rng_range[1] if len(rng_range) > 1 else None
+    noise_pct = getattr(args, "lr_noise_pct", 0.67)
+    noise_seed = getattr(args, "seed", 42) or 42
+    base_fn = schedule.fn
+
+    def fn(epoch: float) -> float:
+        lr = base_fn(epoch)
+        t = int(epoch)
+        apply = (lo <= t < hi) if hi is not None else t >= lo
+        if apply:
+            import torch
+            g = torch.Generator()
+            g.manual_seed(noise_seed + t)
+            while True:
+                noise = torch.randn(1, generator=g).item()
+                if abs(noise) < noise_pct:
+                    break
+            lr = lr + lr * noise
+        return lr
+
+    return Schedule(fn, schedule.num_epochs)
+
+
 def create_scheduler(args) -> Schedule:
     sched = args.sched
     base_lr, min_lr, warmup_lr = args.lr, args.min_lr, args.warmup_lr
@@ -88,23 +129,55 @@ def create_scheduler(args) -> Schedule:
     t_initial = args.epochs
 
     if sched == "cosine":
+        # timm 0.4.5 CosineLRScheduler (SGDR restarts): `--lr-cycle-mul`
+        # multiplies each successive cycle's length, `--lr-cycle-limit`
+        # caps the number of cycles (LR pins to min_lr after), decay_rate
+        # shrinks each cycle's amplitude by gamma=decay_rate^i
+        # (`/root/reference/main_prog.py:148-166` via create_scheduler).
+        t_mul = float(getattr(args, "lr_cycle_mul", 1.0) or 1.0)
+        cycle_limit = int(getattr(args, "lr_cycle_limit", 1))
+        decay_rate = float(getattr(args, "decay_rate", 0.1))
+
         def fn(epoch: float) -> float:
             if epoch < warmup_t:
                 return warmup_lr + (base_lr - warmup_lr) * epoch / max(warmup_t, 1)
-            if epoch >= t_initial:
-                return min_lr  # cooldown tail
-            # timm 0.4.5 CosineLRScheduler default warmup_prefix=False:
-            # the cosine phase counts warmup epochs, i.e. cos(pi*epoch/T)
-            t = epoch / max(t_initial, 1)
-            return min_lr + 0.5 * (base_lr - min_lr) * (1 + math.cos(math.pi * t))
-        return Schedule(fn, t_initial + args.cooldown_epochs)
+            # timm 0.4.5 default warmup_prefix=False: the cosine phase
+            # counts warmup epochs, i.e. cos(pi*epoch/T)
+            t = epoch
+            if t_mul != 1.0:
+                i = int(math.floor(
+                    math.log(1 - t / t_initial * (1 - t_mul), t_mul)))
+                t_i = t_mul ** i * t_initial
+                t_curr = t - (1 - t_mul ** i) / (1 - t_mul) * t_initial
+            else:
+                i = int(t // t_initial)
+                t_i = t_initial
+                t_curr = t - t_initial * i
+            gamma = decay_rate ** i
+            if cycle_limit == 0 or i < cycle_limit:
+                lr_min_i = min_lr * gamma
+                lr_max_i = base_lr * gamma
+                return lr_min_i + 0.5 * (lr_max_i - lr_min_i) * (
+                    1 + math.cos(math.pi * t_curr / max(t_i, 1e-9)))
+            return min_lr
+
+        # timm get_cycle_length(): total scheduled epochs over all cycles
+        cycles = max(1, cycle_limit)
+        if t_mul == 1.0:
+            total = t_initial * cycles
+        else:
+            total = int(math.floor(
+                -t_initial * (t_mul ** cycles - 1) / (1 - t_mul)))
+        return _noise_wrap(Schedule(fn, total + args.cooldown_epochs),
+                           args, t_initial)
 
     if sched == "step":
         def fn(epoch: float) -> float:
             if epoch < warmup_t:
                 return warmup_lr + (base_lr - warmup_lr) * epoch / max(warmup_t, 1)
             return base_lr * (args.decay_rate ** (int(epoch) // int(args.decay_epochs)))
-        return Schedule(fn, t_initial + args.cooldown_epochs)
+        return _noise_wrap(Schedule(fn, t_initial + args.cooldown_epochs),
+                           args, t_initial)
 
     if sched == "tanh":
         def fn(epoch: float) -> float:
@@ -117,7 +190,8 @@ def create_scheduler(args) -> Schedule:
             lb, ub = -7.0, 3.0
             return min_lr + 0.5 * (base_lr - min_lr) * (
                 1 - math.tanh(lb + t * (ub - lb)))
-        return Schedule(fn, t_initial + args.cooldown_epochs)
+        return _noise_wrap(Schedule(fn, t_initial + args.cooldown_epochs),
+                           args, t_initial)
 
     if sched == "plateau":
         return PlateauSchedule(

@@ -26,12 +26,18 @@ class TrainState:
     ema_params: Tuple[Any, ...]     # one tree per EMA decay (may be empty)
 
     @classmethod
-    def create(cls, *, params, batch_stats, tx, ema_decays=()):
+    def create(cls, *, params, batch_stats, tx, ema_decays=(),
+               ema_dtype=None):
         import jax.numpy as jnp
         opt_state = tx.init(params)
         # EMA trees start as *copies* (not aliases) of the params so buffer
-        # donation in the train step never sees the same buffer twice
-        ema = tuple(jax.tree.map(jnp.copy, params) for _ in ema_decays)
+        # donation in the train step never sees the same buffer twice.
+        # ema_dtype=bfloat16 stores them half-width (see ops/rounding.py);
+        # the initial cast is exact enough deterministically (the SR path
+        # only matters for the small per-step increments).
+        cast = (lambda p: jnp.copy(p)) if ema_dtype is None \
+            else (lambda p: p.astype(ema_dtype))
+        ema = tuple(jax.tree.map(cast, params) for _ in ema_decays)
         return cls(step=jnp.zeros((), jnp.int32), params=params,
                    batch_stats=batch_stats, opt_state=opt_state,
                    ema_params=ema)

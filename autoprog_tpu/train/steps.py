@@ -45,22 +45,48 @@ def _sync_compiled(fn, tag: str):
     Single-process: returns `fn` unchanged."""
     if jax.process_count() <= 1:
         return fn
+    import hashlib
+
     from autoprog_tpu.parallel.mesh import compile_barrier
-    state: Dict = {}
+    compiled: Dict = {}    # aval signature -> Compiled executable
+    last: Dict = {}        # fast path: the most recently used signature
+
+    def _sig(args):
+        leaves = jax.tree_util.tree_leaves(args)
+        return tuple((tuple(getattr(x, "shape", ())),
+                      str(getattr(x, "dtype", type(x).__name__)))
+                     for x in leaves)
+
+    def _compile_for(args, sig):
+        # every new signature compiles + rendezvouses BEFORE dispatch —
+        # dispatching an uncompiled program in multi-process mode
+        # re-exposes the Gloo ~30 s context-init skew deadlock the
+        # barrier exists to prevent. The barrier id must be identical
+        # across processes: derive it from the (lockstep) signature with
+        # a stable digest, not hash() (randomized per process).
+        digest = hashlib.sha1(repr(sig).encode()).hexdigest()[:12]
+        compiled[sig] = fn.lower(*args).compile()
+        compile_barrier(f"{tag}:{digest}")
+        return compiled[sig]
 
     def warmup(args):
-        if "compiled" not in state:
-            state["compiled"] = fn.lower(*args).compile()
-            compile_barrier(tag)
+        sig = _sig(args)
+        if sig not in compiled:
+            last["sig"] = sig
+            _compile_for(args, sig)
 
     def wrapper(*args):
-        warmup(args)
-        try:
-            return state["compiled"](*args)
-        except (TypeError, ValueError):
-            # aval mismatch (changed batch shape): fall back to the jit,
-            # which compiles for the new shapes
-            return fn(*args)
+        sig = last.get("sig")
+        if sig is not None:
+            try:
+                return compiled[sig](*args)
+            except (TypeError, ValueError):
+                pass  # signature changed: recheck below
+        sig = _sig(args)
+        last["sig"] = sig
+        if sig not in compiled:
+            _compile_for(args, sig)
+        return compiled[sig](*args)
 
     wrapper.warmup = warmup
     return wrapper
@@ -94,7 +120,8 @@ class StepBuilder:
                  token_label: bool = False, has_token_label_data: bool = False,
                  mesh=None, donate: bool = True,
                  norm_mean=(0.485, 0.456, 0.406),
-                 norm_std=(0.229, 0.224, 0.225), re_count: int = 1):
+                 norm_std=(0.229, 0.224, 0.225), re_count: int = 1,
+                 ema_dtype=None):
         self.model = model
         self.tx = tx
         self.train_loss = train_loss
@@ -108,6 +135,7 @@ class StepBuilder:
         self.norm_mean = tuple(norm_mean)
         self.norm_std = tuple(norm_std)
         self.re_count = re_count
+        self.ema_dtype = ema_dtype
         self._train_cache: Dict = {}
         self._eval_cache: Dict = {}
         self._logits_eval_cache: Dict = {}
@@ -225,10 +253,27 @@ class StepBuilder:
             updates, opt_state = self.tx.update(grads, state.opt_state,
                                                 state.params)
             params = optax.apply_updates(state.params, apply_lr(updates, lr))
-            ema = tuple(
-                jax.tree.map(lambda e, p, d=d: e * d + p.astype(e.dtype) * (1 - d),
-                             et, params)
-                for d, et in zip(self.ema_decays, state.ema_params))
+            if self.ema_dtype == jnp.bfloat16:
+                # bf16-stored EMA: accumulate in f32, store back with
+                # stochastic rounding — deterministic round-to-nearest
+                # freezes the EMA because (1-d)*(p-e) is below bf16 ulp
+                # (ops/rounding.py). Halves the EMA sweeps' HBM traffic.
+                from autoprog_tpu.ops.rounding import cast_tree_bf16_sr
+                ema = tuple(
+                    cast_tree_bf16_sr(
+                        jax.tree.map(
+                            lambda e, p, d=d: e.astype(jnp.float32) * d
+                            + p.astype(jnp.float32) * (1 - d),
+                            et, params),
+                        jax.random.fold_in(rng, 100 + j))
+                    for j, (d, et) in enumerate(
+                        zip(self.ema_decays, state.ema_params)))
+            else:
+                ema = tuple(
+                    jax.tree.map(
+                        lambda e, p, d=d: e * d + p.astype(e.dtype) * (1 - d),
+                        et, params)
+                    for d, et in zip(self.ema_decays, state.ema_params))
             new_state = state.replace(step=state.step + 1, params=params,
                                       batch_stats=new_stats,
                                       opt_state=opt_state, ema_params=ema)

@@ -34,8 +34,9 @@ class SmoothMeter:
         self.val = 0.0
 
     def update(self, val: float, n: int = 1):
+        # reference appends `val` n times (`prog/metrics.py:13-16`)
         self.val = float(val)
-        self.buf.append(float(val))
+        self.buf.extend([float(val)] * max(int(n), 1))
 
     @property
     def avg(self) -> float:

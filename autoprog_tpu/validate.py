@@ -78,6 +78,9 @@ def _restore_params(ckpt, template, use_ema: bool, ema_idx: Optional[int]):
             key = "state_dict_ema_0"
         else:
             _logger.info("no EMA weights found, using online weights")
+    # NOTE: from_state_dict keeps the STORED dtype, so bf16-stored EMA
+    # trees (--model-ema-bf16) evaluate here at exactly the dtype the
+    # training loop evaluated them — the bit-match e2e test covers both
     return serialization.from_state_dict(template, ckpt[key])
 
 
@@ -192,7 +195,11 @@ def validate(args) -> dict:
         "count": int(n),
     }
     if args.real_labels and real is not None:
-        result["top1_real"] = round(real.top1, 4)
+        # a positionally-applied list-form mapping (no filename hits) is
+        # reported under a distinct key so a misaligned folder ordering
+        # can never masquerade as a verified real-labels score
+        key = "top1_real_positional" if real.positional else "top1_real"
+        result[key] = round(real.top1, 4)
     _logger.info("Result: %s", result)
     return result
 
@@ -210,6 +217,7 @@ class _RealLabels:
     def __init__(self, json_path: str, dataset):
         import json
         import os as _os
+        self.positional = False
         with open(json_path) as f:
             data = json.load(f)
         if isinstance(data, dict):
@@ -230,6 +238,7 @@ class _RealLabels:
                     "--real-labels: no dataset filename matched the "
                     "list-form JSON; applying labels positionally")
                 self.sets = data
+                self.positional = True
         elif isinstance(data, list):
             self.sets = data  # no filenames (synthetic/iterable): by order
         else:

@@ -5,7 +5,12 @@ Must set env vars before jax is imported anywhere (SURVEY §4.5).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu (not setdefault): the axon session environment exports
+# JAX_PLATFORMS=axon, and the trainers' apply_platform_env() re-applies
+# the env var through jax.config — with a dead TPU tunnel that turns any
+# e2e test into a ~25-min backend-init hang. Tests always run on the
+# virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

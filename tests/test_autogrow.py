@@ -183,6 +183,18 @@ def test_take_probe_batches_fixed_and_pool_shutdown():
     assert len(batches) == 3
     assert closed == [True]
     assert all(isinstance(b["image"], jax.Array) for b in batches)
-    # short epochs cap at what exists
+    # a search split shorter than the probe budget wraps around so every
+    # probe still sees `total_steps` fixed-aug batches
     closed.clear()
-    assert len(take_probe_batches(ctx, _FakeLoader(), 100)) == 8
+    wrapped = take_probe_batches(ctx, _FakeLoader(), 20)
+    assert len(wrapped) == 20
+    np.testing.assert_array_equal(np.asarray(wrapped[8]["image"]),
+                                  np.asarray(wrapped[0]["image"]))
+
+    # an empty search split is an explicit error, not a float(None) crash
+    class _EmptyLoader(_FakeLoader):
+        def __iter__(self):
+            return iter(())
+
+    with pytest.raises(RuntimeError, match="no probe batches"):
+        take_probe_batches(ctx, _EmptyLoader(), 3)

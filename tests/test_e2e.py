@@ -12,6 +12,9 @@ COMMON = ["synthetic://", "--num-classes", "8", "-b", "16",
 
 
 def test_main_fixed_train_eval_checkpoint(tmp_path):
+    import csv
+    import os
+
     from autoprog_tpu.main import main
     best = main(COMMON + [
         "--model", "deit_h2_l2", "--img-size", "32", "--epochs", "2",
@@ -21,12 +24,36 @@ def test_main_fixed_train_eval_checkpoint(tmp_path):
     ckpts = glob.glob(str(tmp_path / "train" / "*" / "model_best.ckpt"))
     assert len(ckpts) == 1
 
-    # standalone validator reproduces the training-loop eval top-1 exactly
+    # the standalone validator must reproduce the training loop's eval
+    # metrics on the same checkpoint EXACTLY (BASELINE.md north star:
+    # bit-matched eval; both paths share StepBuilder.eval_step, so this
+    # is equality, not tolerance). The trainer's per-epoch metrics live
+    # in summary.csv; model_best.ckpt is the best-top1 epoch's snapshot.
+    with open(os.path.join(os.path.dirname(ckpts[0]), "summary.csv")) as f:
+        rows = list(csv.DictReader(f))
+    # the saver's metric is max over the plain AND EMA eval heads
+    # (main.py:94), so model_best.ckpt is the epoch maximizing that max
+    row_metric = lambda r: max(float(r["eval_top1"]),
+                               float(r["eval_top1_EMA_0.9"]))
+    best_row = max(rows, key=row_metric)
+    assert best == row_metric(best_row)
+
     from autoprog_tpu.validate import main as vmain
-    res = vmain(["synthetic://", "--checkpoint", ckpts[0],
-                 "--num-classes", "8", "--img-size", "32", "-b", "16",
-                 "--workers", "0", "--fake-data-size", "16", "--no-bf16"])
-    assert res[0]["top1"] >= 0
+    # the trainer's eval split is max(fake_data_size // 4, 64) synthetic
+    # samples (engine.make_eval_loader) — evaluate the SAME 64 samples
+    vargs = ["synthetic://", "--checkpoint", ckpts[0],
+             "--num-classes", "8", "--img-size", "32", "-b", "16",
+             "--workers", "0", "--fake-data-size", "64", "--no-bf16"]
+    res = vmain(vargs)
+    assert res[0]["top1"] == round(float(best_row["eval_top1"]), 4)
+    assert res[0]["top5"] == round(float(best_row["eval_top5"]), 4)
+    assert res[0]["loss"] == round(float(best_row["eval_loss"]), 4)
+
+    # and for an EMA tree (--use-ema restores state_dict_ema_0)
+    res_ema = vmain(vargs + ["--use-ema"])
+    assert res_ema[0]["top1"] == round(float(best_row["eval_top1_EMA_0.9"]), 4)
+    assert res_ema[0]["top5"] == round(float(best_row["eval_top5_EMA_0.9"]), 4)
+    assert res_ema[0]["loss"] == round(float(best_row["eval_loss_EMA_0.9"]), 4)
 
 
 def test_main_prog_manual_growth(tmp_path):

@@ -100,6 +100,26 @@ def test_tfrecord_process_sharding_partitions(tmp_path):
     assert len(seen[0]) and len(seen[1])
 
 
+def test_tfrecord_record_sharding_when_few_files(tmp_path):
+    """Fewer files than shards: sharding falls back to record
+    granularity (round-robin), so every host still gets a near-equal,
+    non-empty shard — file-level sharding would starve hosts and stall
+    them at the epoch-boundary collective."""
+    root = str(tmp_path / "tfr4")
+    n = _write_tfrecords(root, "train", n_files=1, per_file=9)
+    ds = create_dataset("tfrecord", root, split="train", is_training=False)
+    seen = []
+    for pi in range(3):
+        ld = create_loader(ds, input_size=16, batch_size=2,
+                           is_training=False, num_workers=0,
+                           process_index=pi, process_count=3)
+        seen.append(np.concatenate([b["label"] for b in ld])
+                    if len(ld) else np.zeros((0,)))
+    counts = [len(s) for s in seen]
+    assert sum(counts) == n
+    assert max(counts) - min(counts) <= 1   # balanced to within one record
+
+
 def test_hfds_wrapper_map_style(tmp_path):
     hfd = pytest.importorskip("datasets")
     from PIL import Image

@@ -118,6 +118,117 @@ def test_ema_tracks_params(tiny_setup):
     assert float(jnp.linalg.norm(e_slow - p0)) < float(jnp.linalg.norm(p - p0))
 
 
+def test_sr_cast_unbiased_and_adjacent():
+    """stochastic_round_bf16 returns one of the two adjacent bf16 values
+    and is unbiased: the mean over many dither streams recovers x."""
+    from autoprog_tpu.ops.rounding import stochastic_round_bf16
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(512,)) * 0.3,
+                    jnp.float32)
+    lo = x.astype(jnp.bfloat16)  # round-to-nearest reference
+    outs = jnp.stack([
+        stochastic_round_bf16(x, jax.random.PRNGKey(k)).astype(jnp.float32)
+        for k in range(64)])
+    # adjacency: every sample within one bf16 ulp of x
+    ulp = jnp.abs(lo.astype(jnp.float32)) * 2.0 ** -7 + 1e-30
+    assert float(jnp.max(jnp.abs(outs - x[None]) / ulp[None])) <= 1.0 + 1e-3
+    # unbiasedness: the mean converges to x, closer than one ulp/4
+    err = jnp.abs(outs.mean(0) - x)
+    assert float(jnp.mean(err / ulp)) < 0.25
+
+
+def test_ema_bf16_sr_no_freeze():
+    """The reason SR exists: with decay d=0.999 the per-step increment
+    (1-d)*(p-e) sits below bf16 ulp, so a deterministic round-to-nearest
+    EMA freezes at its init forever; the stochastic-rounding EMA still
+    converges to the target in expectation."""
+    from autoprog_tpu.ops.rounding import stochastic_round_bf16
+    d, steps = 0.999, 4000
+    p = jnp.full((256,), 1.02, jnp.float32)     # target params
+    e_det = jnp.ones((256,), jnp.bfloat16)      # EMA inits at 1.0
+    e_sr = jnp.ones((256,), jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def run(e_det, e_sr, key):
+        def body(i, c):
+            e_det, e_sr, key = c
+            e_det = (e_det.astype(jnp.float32) * d
+                     + p * (1 - d)).astype(jnp.bfloat16)
+            key = jax.random.fold_in(key, i)
+            e_sr = stochastic_round_bf16(
+                e_sr.astype(jnp.float32) * d + p * (1 - d), key)
+            return e_det, e_sr, key
+        return jax.lax.fori_loop(0, steps, body, (e_det, e_sr, key))
+
+    e_det, e_sr, _ = run(e_det, e_sr, key)
+    # after 4000 steps of d=0.999 the true EMA is ~1.02 (within 2e-4)
+    assert float(jnp.abs(e_det.astype(jnp.float32) - 1.0).max()) < 1e-6, \
+        "deterministic bf16 EMA should have frozen at init"
+    assert abs(float(e_sr.astype(jnp.float32).mean()) - 1.02) < 2e-3, \
+        "SR bf16 EMA should track the target"
+
+
+def test_ema_bf16_sr_parity(tiny_setup):
+    """--model-ema-bf16 numerics gate: 30 real train steps with bf16-SR
+    EMA trees stay within ~bf16 quantization of the f32 EMA reference
+    (params themselves are identical — EMA never feeds back)."""
+    args, model, sb, fresh = tiny_setup
+    sb16 = StepBuilder(model=model, tx=sb.tx, train_loss=sb.train_loss,
+                       ema_decays=(0.9, 0.99), num_classes=10,
+                       ema_dtype=jnp.bfloat16)
+
+    def fresh16():
+        s = fresh()
+        return s.replace(ema_params=tuple(
+            jax.tree.map(lambda x: x.astype(jnp.bfloat16), e)
+            for e in s.ema_params))
+
+    rng = jax.random.PRNGKey(0)
+    batch = make_batch(np.random.default_rng(5))
+    s32, s16 = fresh(), fresh16()
+    step32 = sb.train_step(r=32, splits=1)
+    step16 = sb16.train_step(r=32, splits=1)
+    for _ in range(30):
+        s32, _ = step32(s32, batch, 1e-3, rng)
+        s16, _ = step16(s16, batch, 1e-3, rng)
+    # identical param trajectories (EMA is write-only state)
+    np.testing.assert_array_equal(np.asarray(jax.tree.leaves(s32.params)[0]),
+                                  np.asarray(jax.tree.leaves(s16.params)[0]))
+    for e32, e16 in zip(s32.ema_params, s16.ema_params):
+        for a, b in zip(jax.tree.leaves(e32), jax.tree.leaves(e16)):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            denom = np.linalg.norm(a) + 1e-12
+            assert np.linalg.norm(a - b) / denom < 2e-2, (a.shape, denom)
+
+
+def test_adam_mu_bf16_close(tiny_setup):
+    """--adam-mu-bf16 numerics gate: bf16 first-moment AdamW tracks the
+    f32 reference over 30 steps (b1=0.9 increments are ~10% relative —
+    far above bf16 ulp, so plain round-to-nearest cannot freeze)."""
+    args, model, sb, fresh = tiny_setup
+    args16 = make_args(adam_mu_bf16=True)
+    s0 = fresh()
+    tx16 = create_optimizer(args16, s0.params)
+    sb16 = StepBuilder(model=model, tx=tx16, train_loss=sb.train_loss,
+                       num_classes=10)
+    s16 = TrainState.create(params=jax.tree.map(jnp.copy, s0.params),
+                            batch_stats={}, tx=tx16)
+    rng = jax.random.PRNGKey(0)
+    batch = make_batch(np.random.default_rng(6))
+    step32 = sb.train_step(r=32, splits=1)
+    step16 = sb16.train_step(r=32, splits=1)
+    s32 = fresh()
+    for _ in range(30):
+        s32, m32 = step32(s32, batch, 1e-3, rng)
+        s16, m16 = step16(s16, batch, 1e-3, rng)
+    assert float(m16["loss"]) == pytest.approx(float(m32["loss"]), rel=5e-2)
+    for a, b in zip(jax.tree.leaves(s32.params), jax.tree.leaves(s16.params)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        assert np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12) < 5e-2
+
+
 def test_scheduler_shapes():
     args = make_args(epochs=100, warmup_epochs=20, cooldown_epochs=10,
                      lr=1.6e-3)
@@ -132,6 +243,68 @@ def test_scheduler_shapes():
     assert sched.fn(50) == pytest.approx(
         1e-5 + 0.5 * (1.6e-3 - 1e-5), rel=1e-6)
     assert sched.fn(105) == pytest.approx(1e-5)  # cooldown tail
+
+
+def test_scheduler_cosine_cycles():
+    """timm-0.4.5 SGDR cycle semantics (`--lr-cycle-mul/limit`, wired by
+    the reference via create_scheduler, `/root/reference/main_prog.py:
+    148-166`): cycle i restarts the cosine with amplitude gamma =
+    decay_rate**i; past cycle_limit the LR pins to min_lr; total
+    scheduled epochs follow timm's get_cycle_length()."""
+    args = make_args(epochs=10, warmup_epochs=0, cooldown_epochs=0,
+                     lr=1e-3, min_lr=0.0, decay_rate=0.5,
+                     lr_cycle_mul=1.0, lr_cycle_limit=2)
+    sched = create_scheduler(args)
+    assert sched.num_epochs == 20                       # 2 cycles of 10
+    assert sched.fn(0) == pytest.approx(1e-3)           # cycle-0 peak
+    assert sched.fn(10) == pytest.approx(0.5e-3)        # restart, gamma 0.5
+    assert sched.fn(20) == pytest.approx(0.0)           # past limit: min_lr
+
+    # cycle_mul=2 doubles each successive cycle length: 10 + 20 = 30
+    args2 = make_args(epochs=10, warmup_epochs=0, cooldown_epochs=0,
+                      lr=1e-3, min_lr=0.0, decay_rate=1.0,
+                      lr_cycle_mul=2.0, lr_cycle_limit=2)
+    s2 = create_scheduler(args2)
+    assert s2.num_epochs == 30
+    assert s2.fn(10) == pytest.approx(1e-3)             # cycle-1 restart
+    assert s2.fn(20) == pytest.approx(0.5e-3)           # cos(pi*10/20)
+
+    # defaults (cycle_limit=1, mul=1) keep the single-cosine + cooldown
+    # behavior bit-for-bit
+    a3 = make_args(epochs=100, warmup_epochs=20, cooldown_epochs=10,
+                   lr=1.6e-3)
+    s3 = create_scheduler(a3)
+    assert s3.num_epochs == 110
+    assert s3.fn(105) == pytest.approx(1e-5)
+
+
+def test_scheduler_lr_noise():
+    """`--lr-noise` perturbs the LR inside the given epoch window with
+    timm-0.4.5's exact noise stream (trunc-normal via torch.Generator
+    seeded seed+epoch, scheduler.py `_add_noise`)."""
+    import torch
+
+    base_kw = dict(epochs=10, warmup_epochs=0, cooldown_epochs=0, lr=1e-3)
+    base = create_scheduler(make_args(**base_kw))
+    sched = create_scheduler(make_args(lr_noise=[0.5], lr_noise_pct=0.67,
+                                       seed=42, **base_kw))
+    assert sched.fn(3) == base.fn(3)          # before the window: clean
+    for t in (5, 7, 9):                       # inside: timm's exact stream
+        g = torch.Generator()
+        g.manual_seed(42 + t)
+        while True:
+            noise = torch.randn(1, generator=g).item()
+            if abs(noise) < 0.67:
+                break
+        assert noise != 0.0
+        assert sched.fn(t) == pytest.approx(base.fn(t) * (1 + noise))
+        assert abs(sched.fn(t) / base.fn(t) - 1) < 0.67  # truncation bound
+    assert sched.fn(5) == sched.fn(5)         # deterministic per epoch
+
+    # two-element form bounds the window [on, off)
+    s2 = create_scheduler(make_args(lr_noise=[0.3, 0.5], seed=42, **base_kw))
+    assert s2.fn(4) != base.fn(4)             # inside [3, 5)
+    assert s2.fn(6) == base.fn(6)             # past the window
 
 
 def test_plateau_schedule():
