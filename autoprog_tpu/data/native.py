@@ -27,6 +27,8 @@ def _lib_path() -> str:
 
 def load_library():
     global _LIB, _TRIED
+    if os.environ.get("AUTOPROG_NO_NATIVE") == "1":
+        return None  # A/B kill-switch (scripts/bench_loader.py)
     if _TRIED:
         return _LIB
     _TRIED = True

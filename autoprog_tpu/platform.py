@@ -19,7 +19,7 @@ def apply_platform_env() -> None:
     enable_compilation_cache()
 
 
-def ensure_backend_alive(timeout: float = 300.0) -> None:
+def ensure_backend_alive(timeout: float = 120.0) -> None:
     """Fail fast (RuntimeError) instead of hanging when the accelerator
     backend is unreachable.
 
@@ -31,8 +31,10 @@ def ensure_backend_alive(timeout: float = 300.0) -> None:
       - JAX already has live backends in this process (probing then would
         violate the one-TPU-client-at-a-time constraint), or
       - AUTOPROG_NO_LIVENESS_PROBE=1.
-    A healthy backend answers in seconds; the default 300 s deadline is
-    ~60x that, so a live-but-slow backend is never misdiagnosed."""
+    A healthy backend cold-inits in ~60 s through the tunnel; the default
+    120 s deadline is 2x that, so a live-but-slow backend is never
+    misdiagnosed while a dead one is reported in about two minutes
+    (override with AUTOPROG_LIVENESS_TIMEOUT)."""
     import subprocess
     import sys
 

@@ -100,13 +100,23 @@ def main():
          "mixtoken": jax.random.PRNGKey(2)},
         jnp.zeros((1, 224, 224, 3)), train=True))()
     ema_decays = (0.998, 0.9986, 0.999, 0.9996)
+    # A/B knobs for the bf16 state-storage attack on the opt+EMA roofline
+    # segment (PERF.md): halves the EMA sweeps' (and optionally Adam mu's)
+    # HBM traffic. Default off so the headline metric stays comparable
+    # across rounds until the A/B lands.
+    import os
+    ema_bf16 = os.environ.get("AUTOPROG_BENCH_EMA_BF16") == "1"
+    if os.environ.get("AUTOPROG_BENCH_MU_BF16") == "1":
+        args.adam_mu_bf16 = True
+    ema_dtype = jnp.bfloat16 if ema_bf16 else None
     tx = create_optimizer(args, variables["params"])
     sb = StepBuilder(model=model, tx=tx, train_loss=build_train_loss(args),
                      ema_decays=ema_decays, num_classes=1000,
-                     token_label=True, has_token_label_data=True)
+                     token_label=True, has_token_label_data=True,
+                     ema_dtype=ema_dtype)
     state = TrainState.create(params=variables["params"],
                               batch_stats=variables["batch_stats"], tx=tx,
-                              ema_decays=ema_decays)
+                              ema_decays=ema_decays, ema_dtype=ema_dtype)
     rs = np.random.RandomState(0)
     data = {
         "image": jnp.asarray(rs.randn(batch, 224, 224, 3), jnp.bfloat16),

@@ -121,6 +121,38 @@ def drive_tfrecord(root: str, epochs: int = 3) -> float:
     return n / (time.perf_counter() - t0)
 
 
+def drive_tfrecord_e2e(root: str, *, workers: int, use_native: bool,
+                       batch_size: int = 128, img: int = 224,
+                       auto_augment: str = "rand-m9-mstd0.5-inc1") -> float:
+    """The ONE number VERDICT r3 asked for: records -> decode -> full
+    train augmentation -> uint8 batches, through the real Loader (parent
+    streams raw JPEG records, fork workers decode+augment). This is the
+    host supply rate a chip eating ~1.1k img/s must stay under."""
+    from autoprog_tpu.data.dataset import TFRecordImageDataset
+    from autoprog_tpu.data.loader import create_loader
+
+    ds = TFRecordImageDataset(root, split="train", is_training=True)
+    # RawJpeg samples route to native inside the transform; the only
+    # honest off-switch is the library kill-switch (workers inherit the
+    # env at fork)
+    os.environ["AUTOPROG_NO_NATIVE"] = "" if use_native else "1"
+    loader = create_loader(
+        ds, input_size=img, batch_size=batch_size, is_training=True,
+        scale=(0.08, 1.0), hflip=0.5, auto_augment=auto_augment,
+        re_prob=0.25, num_workers=workers)
+    loader.transform.emit_uint8 = True  # the uint8-pipe production path
+    loader.set_epoch(0)
+    it = iter(loader)
+    next(it)  # pool spin-up + page-cache warm
+    n = 0
+    t0 = time.perf_counter()
+    for batch in it:
+        n += batch["label"].shape[0]
+    dt = time.perf_counter() - t0
+    loader.close()
+    return n / dt
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--workers", type=int, default=4)
@@ -130,12 +162,28 @@ def main() -> None:
     p.add_argument("--tfrecord", action="store_true",
                    help="benchmark raw TFRecord record-supply rate instead "
                         "of the decode/augment loader")
+    p.add_argument("--tfrecord-e2e", action="store_true",
+                   help="records -> native decode -> RandAugment -> uint8 "
+                        "batches through the real Loader, one measured "
+                        "img/s number")
     args = p.parse_args()
     if args.tfrecord:
         troot = make_tfrecords(args.root, args.images)
         rate = drive_tfrecord(troot)
         print(f"tfrecord supply: {rate:8.1f} records/s "
               f"({args.images} records)", flush=True)
+        return
+    if args.tfrecord_e2e:
+        troot = make_tfrecords(args.root, args.images)
+        for nat in (True, False):
+            best = 0.0
+            for _ in range(args.repeats):
+                best = max(best, drive_tfrecord_e2e(
+                    troot, workers=args.workers, use_native=nat))
+            name = "native C++" if nat else "PIL"
+            print(f"tfrecord e2e {name:<10s} randaug workers="
+                  f"{args.workers}: {best:7.1f} img/s "
+                  f"(best of {args.repeats})", flush=True)
         return
     make_jpeg_folder(args.root, args.images)
     # interleaved repeats, best-of: page cache, fork-pool spin-up, and
