@@ -59,13 +59,20 @@ def main():
          "mixtoken": jax.random.PRNGKey(2)},
         jnp.zeros((1, 224, 224, 3)), train=True))()
     ema_decays = (0.998, 0.9986, 0.999, 0.9996)
+    # same bf16-state A/B knobs as bench.py (PERF.md round 4)
+    import os
+    ema_dtype = jnp.bfloat16 \
+        if os.environ.get("AUTOPROG_BENCH_EMA_BF16") == "1" else None
+    if os.environ.get("AUTOPROG_BENCH_MU_BF16") == "1":
+        args.adam_mu_bf16 = True
     tx = create_optimizer(args, variables["params"])
     sb = StepBuilder(model=model, tx=tx, train_loss=build_train_loss(args),
                      ema_decays=ema_decays, num_classes=1000,
-                     token_label=True, has_token_label_data=True)
+                     token_label=True, has_token_label_data=True,
+                     ema_dtype=ema_dtype)
     state = TrainState.create(params=variables["params"],
                               batch_stats=variables["batch_stats"], tx=tx,
-                              ema_decays=ema_decays)
+                              ema_decays=ema_decays, ema_dtype=ema_dtype)
     rs = np.random.RandomState(0)
     hw = 14
     data = {
