@@ -57,12 +57,18 @@ def test_main_fixed_train_eval_checkpoint(tmp_path):
 
 
 def test_main_prog_manual_growth(tmp_path):
-    """deit manual progressive depth growth (BASELINE config 2 analogue)."""
+    """deit manual progressive depth growth (BASELINE config 2 analogue).
+    Runs with bf16-stored EMA (--model-ema-bf16) so the stage-rebuild
+    remap -> bf16 recast path (engine.create_stage_model_and_state) is
+    exercised through growth, checkpointing and the EMA eval."""
+    import numpy as np
+
     from autoprog_tpu.main_prog import main
     best = main(COMMON + [
         "--model", "deit_h2_l4", "--img-size", "32", "--epochs", "4",
         "--num-stages", "2", "--r-scale", "1.0", "--l-scale", "0.5",
         "--drop-path", "0.0", "--load-with-clone",
+        "--model-ema", "--model-ema-decay", "0.9", "--model-ema-bf16",
         "--output", str(tmp_path)])
     assert best is not None
     # checkpoints from both stages exist; the last records the full arch
@@ -71,6 +77,14 @@ def test_main_prog_manual_growth(tmp_path):
     ckpt = load_checkpoint_file(last)
     assert ckpt["arch"] == "deit_h2_l4"
     assert ckpt["stage_info"]["l"] == 4
+    # the EMA tree survived the stage rebuild at its bf16 storage dtype
+    flat = []
+    def walk(d):
+        for v in d.values():
+            (walk(v) if isinstance(v, dict) else flat.append(v))
+    walk(ckpt["state_dict_ema_0"])
+    assert all(np.asarray(x).dtype == "bfloat16" for x in flat), \
+        {np.asarray(x).dtype for x in flat}
 
 
 def test_main_prog_resume_after_growth(tmp_path):
