@@ -291,17 +291,21 @@ class TFRecordImageDataset(IterableImageDataset):
                 for f in shard_files:
                     yield from read_records(f)
         else:
-            # fewer files than shards: shard at RECORD granularity
-            # (round-robin) — file-level sharding would hand some hosts
-            # zero records, stalling them at the epoch-boundary
-            # collective in multi-host training
+            # fewer files than shards: shard at RECORD granularity in
+            # COMPLETE ROUNDS of shard_count — every host gets exactly
+            # floor(n / shard_count) records (the incomplete final round
+            # is dropped). Plain round-robin leaves hosts' counts unequal
+            # by one, which still deadlocks lockstep SPMD eval whenever
+            # the smaller shard is a batch-size multiple; equal-count is
+            # the property multi-host training actually needs.
             def records():
-                i = 0
+                round_buf = []
                 for f in files:
                     for rec in read_records(f):
-                        if i % shard_count == shard_index:
-                            yield rec
-                        i += 1
+                        round_buf.append(rec)
+                        if len(round_buf) == shard_count:
+                            yield round_buf[shard_index]
+                            round_buf.clear()
 
         def emit(rec):
             enc, lab = scan_example(rec)

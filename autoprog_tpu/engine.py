@@ -461,10 +461,13 @@ def create_stage_model_and_state(ctx: TrainContext, new_model_name: str, *,
             new_params = grow_params(
                 prev_state.params, template, src_layers=prev_layers,
                 dst_layers=new_layers, mode="clone")
+        # each EMA tree grows against its OWN template (same storage
+        # dtype — bf16 under --model-ema-bf16): the remappers cast to
+        # the template's dtype, so no recast pass is needed
         new_ema = tuple(
-            grow_params(e, template, src_layers=prev_layers,
+            grow_params(e, ctx.state.ema_params[i], src_layers=prev_layers,
                         dst_layers=new_layers, mode="clone")
-            for e in prev_state.ema_params)
+            for i, e in enumerate(prev_state.ema_params))
     elif load == "super":
         super_l = prev_l
         dst_l = sum(new_layers)
@@ -474,11 +477,11 @@ def create_stage_model_and_state(ctx: TrainContext, new_model_name: str, *,
             super_layers=prev_layers, dst_layers=new_layers,
             base_l=origin_l, super_l=super_l, dst_l=dst_l, family=fam)
         new_ema = tuple(
-            shrink_params(e, template, base_layers=new_layers,
+            shrink_params(e, ctx.state.ema_params[i], base_layers=new_layers,
                           super_layers=prev_layers, dst_layers=new_layers,
                           base_l=origin_l, super_l=super_l, dst_l=dst_l,
                           family=fam)
-            for e in prev_state.ema_params)
+            for i, e in enumerate(prev_state.ema_params))
     elif load == "":
         return  # fresh init (resume path fills weights afterwards)
     else:
@@ -487,12 +490,6 @@ def create_stage_model_and_state(ctx: TrainContext, new_model_name: str, *,
     new_stats = grow_batch_stats(prev_state.batch_stats, stats_template,
                                  src_layers=prev_layers,
                                  dst_layers=new_layers)
-    if getattr(args, "model_ema_bf16", False):
-        # remappers work against the f32 params template — restore the
-        # bf16 storage dtype (one-time deterministic cast; SR only
-        # matters for the small per-step increments)
-        new_ema = tuple(jax.tree.map(lambda x: x.astype(jnp.bfloat16), e)
-                        for e in new_ema)
     ctx.state = ctx.state.replace(params=replicate(ctx.mesh, new_params),
                                   batch_stats=replicate(ctx.mesh, new_stats),
                                   ema_params=replicate(ctx.mesh, new_ema))

@@ -56,20 +56,31 @@ def ensure_backend_alive(timeout: float = 120.0) -> None:
     code = ("import jax\n"
             "print('AUTOPROG_BACKEND_OK', len(jax.devices()),"
             " jax.devices()[0].platform)\n")
+    import tempfile
+    out = tempfile.NamedTemporaryFile(
+        mode="w+", prefix="autoprog_probe_", suffix=".log", delete=False)
+    # NEVER kill a process that is initializing the TPU client — SIGKILL
+    # mid-init wedges the tunnel ~20-30 min for the NEXT client (project
+    # rule). On timeout the probe is ABANDONED instead: if the tunnel was
+    # merely slow it finishes, prints, and exits on its own; if dead it
+    # blocks forever holding nothing but a pid.
+    proc = subprocess.Popen([sys.executable, "-c", code],
+                            stdout=out, stderr=subprocess.STDOUT)
     try:
-        res = subprocess.run([sys.executable, "-c", code],
-                             capture_output=True, text=True, timeout=timeout)
+        rc = proc.wait(timeout=timeout)
     except subprocess.TimeoutExpired:
         raise RuntimeError(
             f"accelerator backend did not initialize within {timeout:.0f}s "
-            "— TPU tunnel/relay presumed dead (probe subprocess killed; "
-            "set JAX_PLATFORMS=cpu to run on host, or "
-            "AUTOPROG_NO_LIVENESS_PROBE=1 to skip this check)")
-    if res.returncode != 0 or "AUTOPROG_BACKEND_OK" not in res.stdout:
-        tail = (res.stderr or res.stdout).strip().splitlines()[-5:]
+            f"— TPU tunnel/relay presumed dead (probe pid {proc.pid} "
+            f"abandoned, log {out.name}; set JAX_PLATFORMS=cpu to run on "
+            "host, or AUTOPROG_NO_LIVENESS_PROBE=1 to skip this check)")
+    out.seek(0)
+    text = out.read()
+    if rc != 0 or "AUTOPROG_BACKEND_OK" not in text:
+        tail = text.strip().splitlines()[-5:]
         raise RuntimeError(
             "accelerator backend probe failed rc=%d: %s"
-            % (res.returncode, " | ".join(tail)))
+            % (rc, " | ".join(tail)))
 
 
 def enable_compilation_cache(path: str = "") -> None:

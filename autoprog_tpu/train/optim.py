@@ -97,11 +97,21 @@ def _noise_wrap(schedule: Schedule, args, t_initial: int) -> Schedule:
     lr_noise = getattr(args, "lr_noise", None)
     if not lr_noise:
         return schedule
+    try:
+        # import at SCHEDULE-CREATION time: a missing torch must fail the
+        # run at startup, not hours in when the noise window first opens
+        import torch
+    except ImportError as e:
+        raise RuntimeError(
+            "--lr-noise reproduces timm's exact torch RNG noise stream "
+            "and needs torch installed (the [parity] extra)") from e
     rng_range = [n * t_initial for n in lr_noise]
     lo = rng_range[0]
     hi = rng_range[1] if len(rng_range) > 1 else None
     noise_pct = getattr(args, "lr_noise_pct", 0.67)
-    noise_seed = getattr(args, "seed", 42) or 42
+    # timm: getattr(args, 'seed', 42) — seed=0 is a legitimate stream
+    seed = getattr(args, "seed", None)
+    noise_seed = 42 if seed is None else seed
     base_fn = schedule.fn
 
     def fn(epoch: float) -> float:
@@ -109,7 +119,6 @@ def _noise_wrap(schedule: Schedule, args, t_initial: int) -> Schedule:
         t = int(epoch)
         apply = (lo <= t < hi) if hi is not None else t >= lo
         if apply:
-            import torch
             g = torch.Generator()
             g.manual_seed(noise_seed + t)
             while True:
@@ -145,8 +154,14 @@ def create_scheduler(args) -> Schedule:
             # counts warmup epochs, i.e. cos(pi*epoch/T)
             t = epoch
             if t_mul != 1.0:
-                i = int(math.floor(
-                    math.log(1 - t / t_initial * (1 - t_mul), t_mul)))
+                # with t_mul < 1 the cycle lengths form a convergent
+                # series summing to t_initial/(1-t_mul); past that point
+                # (e.g. the cooldown tail) the log argument hits <= 0 —
+                # every cycle is over, pin to min_lr
+                log_arg = 1 - t / t_initial * (1 - t_mul)
+                if log_arg <= 0:
+                    return min_lr
+                i = int(math.floor(math.log(log_arg, t_mul)))
                 t_i = t_mul ** i * t_initial
                 t_curr = t - (1 - t_mul ** i) / (1 - t_mul) * t_initial
             else:

@@ -25,6 +25,21 @@ import time
 import numpy as np
 
 
+def bf16_state_knobs(args):
+    """Parse the bf16 state-storage A/B env knobs shared by bench.py and
+    scripts/bench_roofline.py: AUTOPROG_BENCH_EMA_BF16=1 stores EMA trees
+    bf16 (returns the ema_dtype to pass to StepBuilder/TrainState), and
+    AUTOPROG_BENCH_MU_BF16=1 sets args.adam_mu_bf16 for create_optimizer."""
+    import os
+
+    import jax.numpy as jnp
+
+    if os.environ.get("AUTOPROG_BENCH_MU_BF16") == "1":
+        args.adam_mu_bf16 = True
+    return jnp.bfloat16 \
+        if os.environ.get("AUTOPROG_BENCH_EMA_BF16") == "1" else None
+
+
 def time_step(step, state, batch, lr, rng, iters=10, warmup=None):
     """Time `iters` chained train steps as ONE jitted program (a fori_loop
     over the step), so per-dispatch host/tunnel latency cannot pollute the
@@ -104,11 +119,7 @@ def main():
     # segment (PERF.md): halves the EMA sweeps' (and optionally Adam mu's)
     # HBM traffic. Default off so the headline metric stays comparable
     # across rounds until the A/B lands.
-    import os
-    ema_bf16 = os.environ.get("AUTOPROG_BENCH_EMA_BF16") == "1"
-    if os.environ.get("AUTOPROG_BENCH_MU_BF16") == "1":
-        args.adam_mu_bf16 = True
-    ema_dtype = jnp.bfloat16 if ema_bf16 else None
+    ema_dtype = bf16_state_knobs(args)
     tx = create_optimizer(args, variables["params"])
     sb = StepBuilder(model=model, tx=tx, train_loss=build_train_loss(args),
                      ema_decays=ema_decays, num_classes=1000,

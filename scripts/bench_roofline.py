@@ -60,11 +60,8 @@ def main():
         jnp.zeros((1, 224, 224, 3)), train=True))()
     ema_decays = (0.998, 0.9986, 0.999, 0.9996)
     # same bf16-state A/B knobs as bench.py (PERF.md round 4)
-    import os
-    ema_dtype = jnp.bfloat16 \
-        if os.environ.get("AUTOPROG_BENCH_EMA_BF16") == "1" else None
-    if os.environ.get("AUTOPROG_BENCH_MU_BF16") == "1":
-        args.adam_mu_bf16 = True
+    from bench import bf16_state_knobs
+    ema_dtype = bf16_state_knobs(args)
     tx = create_optimizer(args, variables["params"])
     sb = StepBuilder(model=model, tx=tx, train_loss=build_train_loss(args),
                      ema_decays=ema_decays, num_classes=1000,

@@ -56,17 +56,50 @@ def relay_port_open(port: int) -> bool:
 
 
 def device_probe(timeout: float = 300.0) -> bool:
-    """One bounded end-to-end device-math probe in a throwaway process."""
+    """One bounded end-to-end device-math probe in a throwaway process.
+
+    On timeout the probe is ABANDONED, never killed: SIGKILLing a process
+    mid-TPU-client-init wedges the tunnel ~20-30 min for the next client
+    (project rule) — exactly the state this runner exists to wait out."""
+    import tempfile
     code = ("import jax, jax.numpy as jnp\n"
             "x = jnp.ones((256, 256))\n"
             "print('PROBE_OK', float((x @ x).sum()), "
             "jax.devices()[0].platform)\n")
+    out = tempfile.NamedTemporaryFile(
+        mode="w+", prefix="chipq_probe_", suffix=".log", delete=False)
+    proc = subprocess.Popen([sys.executable, "-c", code], cwd=ROOT,
+                            stdout=out, stderr=subprocess.STDOUT)
     try:
-        res = subprocess.run([sys.executable, "-c", code], cwd=ROOT,
-                             capture_output=True, text=True, timeout=timeout)
+        rc = proc.wait(timeout=timeout)
     except subprocess.TimeoutExpired:
+        log(f"device probe pid {proc.pid} still initializing after "
+            f"{timeout:.0f}s; abandoning it (never kill a TPU client)")
+        ABANDONED.append(proc)
         return False
-    return res.returncode == 0 and "PROBE_OK" in res.stdout
+    out.seek(0)
+    return rc == 0 and "PROBE_OK" in out.read()
+
+
+#: abandoned (timed-out) probe children — they exit on their own once the
+#: tunnel answers; jobs must not start while one might still hold a client
+ABANDONED: list = []
+
+
+def drain_abandoned(grace: float = 300.0) -> None:
+    """Give abandoned probes a window to finish before starting a real
+    TPU client (one-client-at-a-time rule). A probe that outlives the
+    grace after the relay returned is hung on a lost handshake; proceed
+    anyway — it holds no live client."""
+    deadline = time.time() + grace
+    for proc in list(ABANDONED):
+        while proc.poll() is None and time.time() < deadline:
+            time.sleep(10)
+        if proc.poll() is None:
+            log(f"abandoned probe pid {proc.pid} still alive after grace; "
+                "proceeding")
+        else:
+            ABANDONED.remove(proc)
 
 
 def wait_healthy(port: int, deadline: float) -> bool:
@@ -77,7 +110,9 @@ def wait_healthy(port: int, deadline: float) -> bool:
             continue
         log(f"relay port {port} open; settling 60s then device-probing")
         time.sleep(60)
+        drain_abandoned()
         if device_probe():
+            drain_abandoned(60)  # earlier strays racing the new client
             log("TPU healthy")
             return True
         log("device probe failed; sleeping 120s")

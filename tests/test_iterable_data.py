@@ -102,11 +102,13 @@ def test_tfrecord_process_sharding_partitions(tmp_path):
 
 def test_tfrecord_record_sharding_when_few_files(tmp_path):
     """Fewer files than shards: sharding falls back to record
-    granularity (round-robin), so every host still gets a near-equal,
-    non-empty shard — file-level sharding would starve hosts and stall
-    them at the epoch-boundary collective."""
+    granularity in complete rounds, so every host gets EXACTLY
+    floor(n/shards) records (equal per-host batch counts are what
+    lockstep SPMD eval needs — near-equal still deadlocks when the
+    smaller shard happens to be a batch-size multiple). The incomplete
+    final round is dropped."""
     root = str(tmp_path / "tfr4")
-    n = _write_tfrecords(root, "train", n_files=1, per_file=9)
+    n = _write_tfrecords(root, "train", n_files=1, per_file=10)
     ds = create_dataset("tfrecord", root, split="train", is_training=False)
     seen = []
     for pi in range(3):
@@ -116,8 +118,9 @@ def test_tfrecord_record_sharding_when_few_files(tmp_path):
         seen.append(np.concatenate([b["label"] for b in ld])
                     if len(ld) else np.zeros((0,)))
     counts = [len(s) for s in seen]
-    assert sum(counts) == n
-    assert max(counts) - min(counts) <= 1   # balanced to within one record
+    assert counts == [n // 3] * 3           # exactly equal shards
+    # the three shards partition the kept records (no duplicates)
+    assert sum(counts) == 3 * (n // 3)
 
 
 def test_hfds_wrapper_map_style(tmp_path):

@@ -277,6 +277,17 @@ def test_scheduler_cosine_cycles():
     assert s3.num_epochs == 110
     assert s3.fn(105) == pytest.approx(1e-5)
 
+    # cycle_mul < 1: cycle lengths form a convergent series (10 + 5 = 15
+    # here); past the series sum the LR pins to min_lr instead of raising
+    # a math domain error (e.g. in the cooldown tail)
+    a4 = make_args(epochs=10, warmup_epochs=0, cooldown_epochs=10,
+                   lr=1e-3, min_lr=1e-5, decay_rate=1.0,
+                   lr_cycle_mul=0.5, lr_cycle_limit=2)
+    s4 = create_scheduler(a4)
+    assert s4.fn(10) == pytest.approx(1e-3)          # cycle-1 restart
+    for t in (15, 20, 24):                           # at/past the sum
+        assert s4.fn(t) == pytest.approx(1e-5)
+
 
 def test_scheduler_lr_noise():
     """`--lr-noise` perturbs the LR inside the given epoch window with
