@@ -282,22 +282,29 @@ class TFRecordImageDataset(IterableImageDataset):
         rng = np.random.RandomState(self.seed + epoch)
         if self.is_training:
             rng.shuffle(files)
-        if len(files) >= shard_count:
-            # file-granularity sharding (tf.data files.shard analogue);
-            # per-epoch file shuffle evens any count imbalance over time
+        if len(files) >= shard_count and len(files) % shard_count == 0:
+            # file-granularity sharding (tf.data files.shard analogue):
+            # every host reads len(files)/shard_count whole files. Equal
+            # per-host BATCH counts — which lockstep SPMD train/eval
+            # require — then rest on the standard sharded-dataset prep
+            # contract of equal records per file (e.g. ImageNet's
+            # 1024x1251); ragged file counts fall through to the
+            # record-granularity path below instead
             shard_files = files[shard_index::shard_count]
 
             def records():
                 for f in shard_files:
                     yield from read_records(f)
         else:
-            # fewer files than shards: shard at RECORD granularity in
-            # COMPLETE ROUNDS of shard_count — every host gets exactly
-            # floor(n / shard_count) records (the incomplete final round
-            # is dropped). Plain round-robin leaves hosts' counts unequal
-            # by one, which still deadlocks lockstep SPMD eval whenever
-            # the smaller shard is a batch-size multiple; equal-count is
-            # the property multi-host training actually needs.
+            # fewer files than shards, or a ragged file count: shard at
+            # RECORD granularity in COMPLETE ROUNDS of shard_count —
+            # every host gets exactly floor(n / shard_count) records (the
+            # incomplete final round is dropped). Plain round-robin
+            # leaves hosts' counts unequal by one, which still deadlocks
+            # lockstep SPMD eval whenever the smaller shard is a
+            # batch-size multiple; equal-count is the property multi-host
+            # training actually needs. (Costs a full scan per host —
+            # the price of equality without a dataset-prep contract.)
             def records():
                 round_buf = []
                 for f in files:

@@ -123,6 +123,22 @@ def test_tfrecord_record_sharding_when_few_files(tmp_path):
     assert sum(counts) == 3 * (n // 3)
 
 
+def test_tfrecord_ragged_file_count_uses_record_sharding(tmp_path):
+    """A file count that does not divide by the shard count routes to
+    record-granularity sharding too: 3 files over 2 hosts would give one
+    host twice the files (and batches), deadlocking lockstep SPMD."""
+    root = str(tmp_path / "tfr5")
+    n = _write_tfrecords(root, "train", n_files=3, per_file=5)
+    ds = create_dataset("tfrecord", root, split="train", is_training=False)
+    counts = []
+    for pi in range(2):
+        ld = create_loader(ds, input_size=16, batch_size=4,
+                           is_training=False, num_workers=0,
+                           process_index=pi, process_count=2)
+        counts.append(sum(int(b["label"].shape[0]) for b in ld))
+    assert counts == [n // 2, n // 2]
+
+
 def test_hfds_wrapper_map_style(tmp_path):
     hfd = pytest.importorskip("datasets")
     from PIL import Image
