@@ -29,15 +29,34 @@ def bf16_state_knobs(args):
     """Parse the bf16 state-storage A/B env knobs shared by bench.py and
     scripts/bench_roofline.py: AUTOPROG_BENCH_EMA_BF16=1 stores EMA trees
     bf16 (returns the ema_dtype to pass to StepBuilder/TrainState), and
-    AUTOPROG_BENCH_MU_BF16=1 sets args.adam_mu_bf16 for create_optimizer."""
+    AUTOPROG_BENCH_MU_BF16=1 sets args.adam_mu_bf16 for create_optimizer.
+
+    With NEITHER env var set, falls back to `output/bench_autotune.json`
+    when present — written by the on-chip A/B job
+    (output/chip_jobs/15_ema_bf16_ab.sh) iff a bf16-state config beat the
+    f32 baseline by >=1%, so the headline bench reports the measured-best
+    numerics-gated config (the A/B logs next to it prove the choice)."""
+    import json as _json
     import os
+    import sys
 
     import jax.numpy as jnp
 
-    if os.environ.get("AUTOPROG_BENCH_MU_BF16") == "1":
+    ema = os.environ.get("AUTOPROG_BENCH_EMA_BF16")
+    mu = os.environ.get("AUTOPROG_BENCH_MU_BF16")
+    if ema is None and mu is None:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "output", "bench_autotune.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                tuned = _json.load(f)
+            ema = "1" if tuned.get("ema_bf16") else "0"
+            mu = "1" if tuned.get("mu_bf16") else "0"
+            print(f"# bench_autotune.json applied: {tuned}",
+                  file=sys.stderr)
+    if mu == "1":
         args.adam_mu_bf16 = True
-    return jnp.bfloat16 \
-        if os.environ.get("AUTOPROG_BENCH_EMA_BF16") == "1" else None
+    return jnp.bfloat16 if ema == "1" else None
 
 
 def time_step(step, state, batch, lr, rng, iters=10, warmup=None):

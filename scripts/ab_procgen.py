@@ -95,10 +95,19 @@ def main() -> None:
     p.add_argument("--seeds", type=int, nargs="+", default=[42, 7, 123])
     p.add_argument("--root", default=os.path.join(
         os.path.dirname(__file__), "..", "output", "procgen_runs"))
+    p.add_argument("--deadline-ts", type=float, default=0.0,
+                   help="unix timestamp: start no new seed pair past this "
+                        "(graceful stop — NEVER kill a running TPU client; "
+                        "completed pairs are summarized)")
     a = p.parse_args()
 
     rows = []
     for seed in a.seeds:
+        if a.deadline_ts and time.time() > a.deadline_ts:
+            print(f"[deadline] stopping before seed {seed}: past "
+                  f"--deadline-ts; {len(rows)} completed pair(s) summarized",
+                  flush=True)
+            break
         t0 = time.perf_counter()
         fixed_top1, fixed_tr = run_fixed(
             a, os.path.join(a.root, f"fixed_s{seed}"), seed)
@@ -111,6 +120,9 @@ def main() -> None:
               f"speedup {fixed_tr / max(auto_tr, 1e-9):.2f}x  "
               f"[pair wall {time.perf_counter() - t0:.0f}s]", flush=True)
 
+    if not rows:
+        print("no completed seed pairs (deadline hit before the first)")
+        return
     import numpy as np
     f = np.array([r[1] for r in rows], float)
     au = np.array([r[3] for r in rows], float)
