@@ -21,7 +21,7 @@ tlt's `create_token_label_dataset` (SURVEY §2.2):
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -265,13 +265,20 @@ class TFRecordImageDataset(IterableImageDataset):
         self.label_offset = label_offset
         self.shuffle_buffer = shuffle_buffer
         self._num_samples = num_samples
+        self._file_counts: Optional[Dict[str, int]] = None
+
+    def _ensure_counts(self) -> Dict[str, int]:
+        """Per-file record counts (framing headers only, payloads seeked
+        over; one-time, cached). Feeds both __len__ and the exact
+        range-sharding in iter_samples."""
+        if self._file_counts is None:
+            from autoprog_tpu.data.tfrecord import count_records
+            self._file_counts = {f: count_records(f) for f in self.files}
+        return self._file_counts
 
     def __len__(self) -> int:
         if not self._num_samples:
-            # one-time count (record framing only, no parse); cached
-            from autoprog_tpu.data.tfrecord import read_records
-            self._num_samples = sum(
-                1 for f in self.files for _ in read_records(f))
+            self._num_samples = sum(self._ensure_counts().values())
         return self._num_samples
 
     def iter_samples(self, epoch: int, shard_index: int, shard_count: int):
@@ -282,29 +289,49 @@ class TFRecordImageDataset(IterableImageDataset):
         rng = np.random.RandomState(self.seed + epoch)
         if self.is_training:
             rng.shuffle(files)
-        if len(files) >= shard_count and len(files) % shard_count == 0:
-            # file-granularity sharding (tf.data files.shard analogue):
-            # every host reads len(files)/shard_count whole files. Equal
-            # per-host BATCH counts — which lockstep SPMD train/eval
-            # require — then rest on the standard sharded-dataset prep
-            # contract of equal records per file (e.g. ImageNet's
-            # 1024x1251); ragged file counts fall through to the
-            # record-granularity path below instead
-            shard_files = files[shard_index::shard_count]
+        if shard_count <= 1:
+            def records():
+                for f in files:
+                    yield from read_records(f)
+        elif not self._num_samples or self._file_counts is not None:
+            # EXACT range sharding by global record index: host h reads
+            # records [h*q, (h+1)*q) of the (epoch-shuffled) file
+            # concatenation, q = floor(n / shard_count) — per-host counts
+            # are exactly equal (lockstep SPMD train/eval deadlock on ANY
+            # inequality, incl. unequal records per file, which file-
+            # granularity sharding silently trusts the dataset prep to
+            # avoid). IO stays minimal: the per-file counts (one seek-only
+            # framing scan, cached by _ensure_counts) let each host open
+            # only the files overlapping its own range. The n % shard_count
+            # tail records are dropped.
+            counts = self._ensure_counts()
+            n = sum(counts.values())
+            quota = n // shard_count
+            start, stop = shard_index * quota, (shard_index + 1) * quota
 
             def records():
-                for f in shard_files:
-                    yield from read_records(f)
+                pos = 0
+                for f in files:
+                    c = counts[f]
+                    if pos + c <= start or pos >= stop:
+                        pos += c
+                        continue
+                    for k, rec in enumerate(read_records(f)):
+                        gi = pos + k
+                        if gi >= stop:
+                            break
+                        if gi >= start:
+                            yield rec
+                    pos += c
         else:
-            # fewer files than shards, or a ragged file count: shard at
-            # RECORD granularity in COMPLETE ROUNDS of shard_count —
-            # every host gets exactly floor(n / shard_count) records (the
-            # incomplete final round is dropped). Plain round-robin
-            # leaves hosts' counts unequal by one, which still deadlocks
-            # lockstep SPMD eval whenever the smaller shard is a
-            # batch-size multiple; equal-count is the property multi-host
-            # training actually needs. (Costs a full scan per host —
-            # the price of equality without a dataset-prep contract.)
+            # counts unavailable (the user supplied num_samples to skip
+            # the scan): shard at RECORD granularity in COMPLETE ROUNDS of
+            # shard_count — every host gets exactly floor(n/shard_count)
+            # records (the incomplete final round is dropped), at the cost
+            # of a full read per host. Plain round-robin would leave
+            # hosts' counts unequal by one, which still deadlocks lockstep
+            # SPMD eval whenever the smaller shard is a batch-size
+            # multiple.
             def records():
                 round_buf = []
                 for f in files:

@@ -71,6 +71,20 @@ def read_records(path: str, *, verify_crc: bool = False,
             yield payload
 
 
+def count_records(path: str) -> int:
+    """Record count of one file by framing headers only: 12 bytes read
+    per record, payloads seeked over — ~10^3x less IO than a full read."""
+    n = 0
+    with open(path, "rb") as f:
+        while True:
+            hdr = f.read(12)
+            if len(hdr) < 12:
+                return n
+            (length,) = struct.unpack("<Q", hdr[:8])
+            f.seek(length + 4, 1)
+            n += 1
+
+
 def scan_example(buf: bytes, *, encoded_key: bytes = b"image/encoded",
                  label_key: bytes = b"image/class/label"
                  ) -> Tuple[Optional[bytes], Optional[int]]:

@@ -121,8 +121,10 @@ def main() -> None:
               f"[pair wall {time.perf_counter() - t0:.0f}s]", flush=True)
 
     if not rows:
+        # nonzero exit: the chip-queue runner marks rc==0 jobs .done
+        # permanently — a zero-evidence run must stay retryable
         print("no completed seed pairs (deadline hit before the first)")
-        return
+        sys.exit(4)
     import numpy as np
     f = np.array([r[1] for r in rows], float)
     au = np.array([r[3] for r in rows], float)
