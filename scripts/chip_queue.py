@@ -39,6 +39,27 @@ import time
 
 ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 QDIR = os.path.join(ROOT, "output", "chip_jobs")
+#: committed job templates — output/ is gitignored, so a container reset
+#: (round-4 postmortem) deletes the live queue; seed_jobs() restores any
+#: job that has not already run (no .sh/.done/.fail marker in QDIR)
+SEED_DIR = os.path.join(ROOT, "scripts", "chip_jobs")
+
+
+def seed_jobs() -> None:
+    os.makedirs(QDIR, exist_ok=True)
+    if not os.path.isdir(SEED_DIR):
+        return
+    for name in sorted(os.listdir(SEED_DIR)):
+        if not name.endswith(".sh"):
+            continue
+        stem = name[:-3]
+        if any(os.path.exists(os.path.join(QDIR, stem + ext))
+               for ext in (".sh", ".done", ".fail")):
+            continue
+        with open(os.path.join(SEED_DIR, name)) as src, \
+                open(os.path.join(QDIR, name), "w") as dst:
+            dst.write(src.read())
+        log(f"seeded {name} from scripts/chip_jobs/")
 
 
 def log(msg: str) -> None:
@@ -135,7 +156,7 @@ def main() -> None:
     a = p.parse_args()
     deadline = time.time() + a.hours * 3600
 
-    os.makedirs(QDIR, exist_ok=True)
+    seed_jobs()
     pidfile = os.path.join(QDIR, ".runner.pid")
     if os.path.exists(pidfile):
         with open(pidfile) as f:
