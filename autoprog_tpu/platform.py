@@ -19,7 +19,7 @@ def apply_platform_env() -> None:
     enable_compilation_cache()
 
 
-def ensure_backend_alive(timeout: float = 120.0) -> None:
+def ensure_backend_alive(timeout: float = 0.0) -> None:
     """Fail fast (RuntimeError) instead of hanging when the accelerator
     backend is unreachable.
 
@@ -31,10 +31,17 @@ def ensure_backend_alive(timeout: float = 120.0) -> None:
       - JAX already has live backends in this process (probing then would
         violate the one-TPU-client-at-a-time constraint), or
       - AUTOPROG_NO_LIVENESS_PROBE=1.
-    A healthy backend cold-inits in ~60 s through the tunnel; the default
-    120 s deadline is 2x that, so a live-but-slow backend is never
-    misdiagnosed while a dead one is reported in about two minutes
-    (override with AUTOPROG_LIVENESS_TIMEOUT)."""
+
+    The deadline adapts to a cheap TCP check of the tunnel relay port
+    (AUTOPROG_RELAY_PORT, default 8082; 0 disables the check): a DEAD
+    relay refuses the connect, so the short 120 s deadline is plenty to
+    report it, while an OPEN port means the relay is alive and the init
+    is merely slow — a healthy cold init has been observed anywhere from
+    ~60 s to ~470 s (round-4, fresh container + cold compile cache), so
+    a patient 900 s deadline is used rather than misdiagnosing a slow
+    backend as dead and forfeiting the benchmark. Override everything
+    with AUTOPROG_LIVENESS_TIMEOUT."""
+    import socket
     import subprocess
     import sys
 
@@ -52,6 +59,16 @@ def ensure_backend_alive(timeout: float = 120.0) -> None:
                 return  # backend already up in-process: provably alive
         except Exception:
             pass
+    if not timeout:
+        port = int(os.environ.get("AUTOPROG_RELAY_PORT", "8082"))
+        relay_open = False
+        if port:
+            try:
+                socket.create_connection(("127.0.0.1", port), 2).close()
+                relay_open = True
+            except OSError:
+                pass
+        timeout = 900.0 if relay_open else 120.0
     timeout = float(os.environ.get("AUTOPROG_LIVENESS_TIMEOUT", timeout))
     code = ("import jax\n"
             "print('AUTOPROG_BACKEND_OK', len(jax.devices()),"
