@@ -188,10 +188,17 @@ def test_main_prog_resume_into_search_boundary(tmp_path):
            "--lr", "1e-3", "--workers", "0", "--fake-data-size", "64",
            "--no-bf16", "--img-size", "32", "--epochs", "6",
            "--num-stages", "3", "--r-scale", "1.0", "--l-scale", "0.5",
-           "--drop-path", "0.0", "--auto-grow", "--search-epochs", "1",
-           "--search-probe-steps", "2", "--load-with-clone-ema",
+           "--drop-path", "0.0", "--load-with-clone-ema",
            "--model-ema", "--model-ema-decay", "0.9"]
+    auto = ["--auto-grow", "--search-epochs", "1",
+            "--search-probe-steps", "2"]
+    # first run WITHOUT auto-grow: checkpoint-1 must deterministically
+    # carry the sub-maximal stage-0 arch (an epoch-0 search is free to
+    # decide l=l_max on synthetic data, after which every later boundary
+    # correctly SKIPS the search — reference skips when already at the
+    # window max — and the resume below would have nothing to search)
     main_prog.main(cfg + ["--output", str(tmp_path)])
+    cfg = cfg + auto
     # epoch-1 snapshot: stage-0 arch, next epoch (2) is a search boundary
     snap = g.glob(str(tmp_path / "train" / "*" / "checkpoint-1.ckpt"))[0]
     best = main_prog.main(cfg + ["--resume", snap,
