@@ -138,7 +138,8 @@ def build_parser(prog: bool = False) -> argparse.ArgumentParser:
     g.add_argument("--cutmix-minmax", type=float, nargs="+", default=None)
     g.add_argument("--mixup-prob", type=float, default=1.0)
     g.add_argument("--mixup-switch-prob", type=float, default=0.5)
-    g.add_argument("--mixup-mode", type=str, default="batch")
+    g.add_argument("--mixup-mode", type=str, default="batch",
+                   choices=["batch", "pair", "elem"])
     g.add_argument("--mixup-off-epoch", default=0, type=int)
     g.add_argument("--smoothing", type=float, default=0.1)
     g.add_argument("--train-interpolation", type=str, default="random")

@@ -174,6 +174,7 @@ def make_train_loader(ctx: TrainContext, *, aa: str, re_prob: float,
     mixup_active = args.mixup > 0 or args.cutmix > 0 or \
         args.cutmix_minmax is not None
     mixup = Mixup(mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,
+                  cutmix_minmax=args.cutmix_minmax,
                   prob=args.mixup_prob, switch_prob=args.mixup_switch_prob,
                   label_smoothing=args.smoothing,
                   num_classes=args.num_classes, mode=args.mixup_mode,

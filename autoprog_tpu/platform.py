@@ -60,7 +60,10 @@ def ensure_backend_alive(timeout: float = 0.0) -> None:
         except Exception:
             pass
     if not timeout:
-        port = int(os.environ.get("AUTOPROG_RELAY_PORT", "8082"))
+        try:
+            port = int(os.environ.get("AUTOPROG_RELAY_PORT", "8082"))
+        except ValueError:
+            port = 8082  # malformed override degrades to the default
         relay_open = False
         if port:
             try:

@@ -33,7 +33,7 @@ def bf16_state_knobs(args):
 
     With NEITHER env var set, falls back to `output/bench_autotune.json`
     when present — written by the on-chip A/B job
-    (output/chip_jobs/15_ema_bf16_ab.sh) iff a bf16-state config beat the
+    (scripts/chip_jobs/10_ema_bf16_ab.sh) iff a bf16-state config beat the
     f32 baseline by >=1%, so the headline bench reports the measured-best
     numerics-gated config (the A/B logs next to it prove the choice)."""
     import os

@@ -67,6 +67,12 @@ def run_leg(tag: str, knobs: dict) -> dict | None:
 
 def main() -> int:
     os.makedirs(OUT, exist_ok=True)
+    # Quarantine any PRIOR autotune verdict before running legs: a leg
+    # failure below returns early, and a stale win from an earlier run
+    # must not survive to be silently adopted by 20_bench (ADVICE r4).
+    stale = os.path.join(OUT, "bench_autotune.json")
+    if os.path.exists(stale):
+        os.replace(stale, stale + ".stale")
     results = {}
     for tag, knobs in LEGS:
         res = run_leg(tag, knobs)

@@ -322,3 +322,106 @@ def test_procgen_dataset_contract():
     # samples are not degenerate: shapes visible over background
     arr = np.asarray(img_a, np.float32)
     assert arr.std() > 10.0
+
+
+def test_cutmix_minmax_forces_cutmix_and_bounds_box():
+    """timm-0.4.5: cutmix_minmax forces cutmix (alpha:=1.0), cut side
+    lengths are uniform in [lo*dim, hi*dim), the box is never clipped,
+    and lambda is recomputed from the ACTUAL box area."""
+    H = 32
+    mx = Mixup(mixup_alpha=0.0, cutmix_alpha=0.0, cutmix_minmax=(0.25, 0.5),
+               num_classes=10, label_smoothing=0.0, prob=1.0)
+    assert mx.active and mx.cutmix_alpha == 1.0
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        base = np.arange(4, dtype=np.float32)[:, None, None, None]
+        batch = {"image": np.tile(base, (1, H, H, 3)).copy(),
+                 "label": np.arange(4, dtype=np.int64)}
+        out = mx(batch, rng)
+        img = out["image"]
+        # mixing happened via a rectangular box cut from the flipped batch
+        mixed = img[0] != 0.0
+        assert mixed.any()
+        ys, xs = np.where(mixed[:, :, 0])
+        ch, cw = ys.max() - ys.min() + 1, xs.max() - xs.min() + 1
+        # side lengths within the minmax range (unclipped by construction)
+        assert H * 0.25 <= ch < H * 0.5
+        assert H * 0.25 <= cw < H * 0.5
+        assert ch * cw == mixed[:, :, 0].sum()  # full box inside the image
+        # lambda reconstructed from the true area matches the target row
+        lam = 1.0 - ch * cw / (H * H)
+        t = out["soft_target"]
+        np.testing.assert_allclose(t[0, 0], lam, rtol=1e-5)
+        np.testing.assert_allclose(t[0, 3], 1 - lam, rtol=1e-5)
+
+
+def test_mixup_pair_mode_symmetric():
+    """timm 'pair' mode: samples i and B-1-i exchange content with one
+    lambda and one cut box per pair; targets mirror the pixels on both
+    sides (VERDICT r4: 'pair' used to silently degrade to batch mode)."""
+    mx = Mixup(mixup_alpha=0.8, cutmix_alpha=0.0, num_classes=10,
+               label_smoothing=0.0, mode="pair", prob=1.0)
+    rng = np.random.default_rng(3)
+    B, H = 6, 8
+    base = np.arange(B, dtype=np.float32)[:, None, None, None]
+    batch = {"image": np.tile(base, (1, H, H, 3)).copy(),
+             "label": np.arange(B, dtype=np.int64)}
+    out = mx(batch, rng)
+    img, t = out["image"], out["soft_target"]
+    np.testing.assert_allclose(t.sum(-1), 1.0, rtol=1e-5)
+    for i in range(B // 2):
+        j = B - 1 - i
+        lam_i = float(t[i, i])
+        # same lambda on both sides of the pair
+        np.testing.assert_allclose(float(t[j, j]), lam_i, rtol=1e-5)
+        # pixels consistent: constant-valued inputs => exact blend check
+        np.testing.assert_allclose(
+            img[i], i * lam_i + j * (1 - lam_i), rtol=1e-4)
+        np.testing.assert_allclose(
+            img[j], j * lam_i + i * (1 - lam_i), rtol=1e-4)
+
+
+def test_mixup_pair_cutmix_same_box_both_sides():
+    mx = Mixup(mixup_alpha=0.0, cutmix_alpha=1.0, num_classes=10,
+               label_smoothing=0.0, mode="pair", prob=1.0)
+    rng = np.random.default_rng(1)
+    B, H = 4, 16
+    base = np.arange(B, dtype=np.float32)[:, None, None, None]
+    batch = {"image": np.tile(base, (1, H, H, 3)).copy(),
+             "label": np.arange(B, dtype=np.int64)}
+    out = mx(batch, rng)
+    img = out["image"]
+    for i in range(B // 2):
+        j = B - 1 - i
+        # the region holding j's value in image i is exactly the region
+        # holding i's value in image j (same box, swapped contents)
+        np.testing.assert_array_equal(img[i] == j, img[j] == i)
+
+
+def test_mixup_unsupported_modes_hard_error():
+    with pytest.raises(ValueError):
+        Mixup(mixup_alpha=0.8, mode="half")
+    with pytest.raises(ValueError):
+        Mixup(mixup_alpha=0.8, mode="elem", token_label=True)
+    with pytest.raises(ValueError):
+        Mixup(mixup_alpha=0.8, mode="pair", token_label=True)
+    with pytest.raises(ValueError):
+        Mixup(cutmix_minmax=(0.2, 0.3, 0.4))
+
+
+def test_mixup_elem_cutmix_minmax_per_sample_boxes():
+    mx = Mixup(mixup_alpha=0.0, cutmix_minmax=(0.2, 0.4), num_classes=10,
+               label_smoothing=0.0, mode="elem", prob=1.0)
+    rng = np.random.default_rng(5)
+    B, H = 4, 32
+    base = np.arange(B, dtype=np.float32)[:, None, None, None]
+    batch = {"image": np.tile(base, (1, H, H, 3)).copy(),
+             "label": np.arange(B, dtype=np.int64)}
+    out = mx(batch, rng)
+    t = out["soft_target"]
+    np.testing.assert_allclose(t.sum(-1), 1.0, rtol=1e-5)
+    # every sample's lambda is bounded by the minmax box-area range:
+    # sides in [0.2H, 0.4H) => lam = 1 - area in (1-0.16, 1-0.04]
+    for i in range(B):
+        lam_i = float(t[i, i])
+        assert 1 - 0.2 * 0.2 >= lam_i >= 1 - 0.4 * 0.4
