@@ -27,8 +27,20 @@ from autoprog_tpu.utils.meters import AverageMeter
 
 _logger = logging.getLogger("autoprog_tpu")
 
-# convenience aliases: canonical VOLO sizes in the name-as-config grammar
-_VARIANT_ALIASES = {"volo_d1": "volo_h12_l18"}
+# Canonical VOLO sizes in the name-as-config grammar. Each alias is the
+# EXACT 2-stage collapse of the 4-stage registry model (stages 1-3 share
+# dim/heads/resolution — `models/volo.py:697-821` — so collapsing them
+# into one transformer stage is the identical network; parity asserted by
+# tests/test_models.py::test_d_model_aliases_are_exact_collapses). D4/D5
+# use the fixed-width families (models/factory.py) because their
+# transformer head_dim (48) is outside the [h/2,h,h,h] grammar.
+_VARIANT_ALIASES = {
+    "volo_d1": "volo_h12_l18",
+    "volo_d2": "volo_h16_l24",
+    "volo_d3": "volo_h16_l36",
+    "volo_d4": "volod4_h16_l36",
+    "volo_d5": "volod5_h16_l48",
+}
 
 # test/debug seam: the last completed run's TrainContext (carries
 # `stage_history`, the traversed (epoch, r, h, l, ...) sequence — the

@@ -142,6 +142,36 @@ def deit_variant_arch(h: int, l: int) -> DeitArch:
     return DeitArch(embed_dim=64 * h, depth=l, num_heads=h)
 
 
+def volo_fixed_width_arch(h: int, l: int, *, dims, heads, mlp, stem,
+                          family: str) -> VoloArch:
+    """Elastic-DEPTH variant family for the big VOLO shapes whose head
+    widths the `[h/2, h, h, h]` grammar cannot express (D4/D5: stage-0
+    head_dim 32 but transformer head_dim 48, `models/volo.py:776-821`).
+    Width is pinned: the `h` token must equal the family's transformer
+    head count (AutoProg never grows width — `main_prog.py:1561` asserts
+    a single h candidate — so depth/resolution progression is the whole
+    search space for these families)."""
+    if h != heads[1]:
+        raise ValueError(
+            f"{family} has fixed width (transformer heads {heads[1]}); "
+            f"got h{h} — width growth is not supported for this family")
+    l0, l1 = volo_depth_split(l)
+    return VoloArch(layers=(l0, l1, 0, 0), embed_dims=dims,
+                    num_heads=heads, mlp_ratios=mlp, stem_hidden_dim=stem)
+
+
+#: fixed-width grammar families: name prefix -> (dims, heads, mlp, stem,
+#: crop_pct). `volod4_h16_l36` is the 2-stage collapse of volo_d4 (stages
+#: 1-3 share dim/heads/resolution, so the collapse is exact), and
+#: analogously volod5_h16_l48 for volo_d5.
+_FIXED_WIDTH_FAMILIES = {
+    "volod4": ((384, 768, 768, 768), (12, 16, 16, 16), (3, 3, 3, 3), 64,
+               1.15),
+    "volod5": ((384, 768, 768, 768), (12, 16, 16, 16), (4, 4, 4, 4), 128,
+               1.15),
+}
+
+
 @register_model
 def model_variant(variant: str = "", **kwargs) -> ModelDef:
     family, h, l = parse_variant_name(variant)
@@ -149,6 +179,13 @@ def model_variant(variant: str = "", **kwargs) -> ModelDef:
         return ModelDef(variant, volo_variant_arch(h, l), _volo_cfg())
     if family == "deit":
         return ModelDef(variant, deit_variant_arch(h, l), _deit_cfg())
+    if family in _FIXED_WIDTH_FAMILIES:
+        dims, heads, mlp, stem, crop = _FIXED_WIDTH_FAMILIES[family]
+        return ModelDef(variant,
+                        volo_fixed_width_arch(h, l, dims=dims, heads=heads,
+                                              mlp=mlp, stem=stem,
+                                              family=family),
+                        _volo_cfg(crop))
     raise ValueError(f"unknown variant family {family!r}")
 
 

@@ -158,3 +158,40 @@ def test_volo_d1_param_count():
     n = sum(np.prod(v.shape) for v in
             jax.tree.leaves(variables["params"]))
     assert 25e6 < n < 30e6, f"param count {n}"
+
+
+def test_d_model_aliases_are_exact_collapses():
+    """volo_d2..d5 are addressable in main_prog via 2-stage collapses
+    (VERDICT r4 #5): stages 1-3 of the registry models share
+    dim/heads/resolution (`models/volo.py:730-821`), so collapsing them
+    into one transformer stage is the IDENTICAL network — asserted here
+    as an exact match of total params and the full param-shape multiset."""
+    from autoprog_tpu.main_prog import _VARIANT_ALIASES
+
+    def shape_sig(name):
+        mdef = create_model(name)
+        m = mdef.make(num_classes=10, img_size=32, dtype=jnp.float32)
+        v = jax.eval_shape(
+            lambda k: m.init({"params": k}, jnp.zeros((1, 32, 32, 3)),
+                             train=False), jax.random.PRNGKey(0))
+        leaves = jax.tree_util.tree_leaves(v["params"])
+        total = sum(int(np.prod(l.shape)) for l in leaves)
+        return total, sorted(str(l.shape) for l in leaves)
+
+    for d_name in ("volo_d2", "volo_d3", "volo_d4", "volo_d5"):
+        alias = _VARIANT_ALIASES[d_name]
+        td, sd = shape_sig(d_name)
+        ta, sa = shape_sig(alias)
+        assert td == ta, f"{d_name} {td} != {alias} {ta}"
+        assert sd == sa, f"{d_name} shape multiset differs from {alias}"
+
+
+def test_fixed_width_family_rejects_width_change():
+    """volod4/volod5 pin the transformer head count (head_dim 48 is
+    outside the [h/2,h,h,h] grammar); a width-changing h token must be a
+    hard error, not a silently different model."""
+    with pytest.raises(ValueError):
+        create_model("volod4_h8_l18")
+    # depth-only members build fine (stage models during growth)
+    assert create_model("volod4_h16_l18").arch.total_layers == 18
+    assert create_model("volod5_h16_l24").arch.mlp_ratios == (4, 4, 4, 4)
