@@ -249,11 +249,21 @@ def _remap_tree(src_flat: Dict, dst_template, *, path_map, mode: str,
 
 def _dedupe_buffers(flat: Dict) -> Dict:
     """Force distinct device buffers for every leaf. Depth cloning maps
-    several destination layers to one source, and JAX deduplicates
-    value-equal constants into shared buffers — which breaks the train
-    step's donation (`donate(a), donate(a)`)."""
-    import numpy as np
+    several destination layers to one source (`x.astype(x.dtype)` returns
+    the SAME array object), which breaks the train step's donation
+    (`donate(a), donate(a)` -> INVALID_ARGUMENT on TPU; CPU ignores
+    donation, so the failure is chip-only).
 
+    Aliases are keyed on the Python object identity FIRST:
+    `unsafe_buffer_pointer()` is UNIMPLEMENTED on tunneled PJRT backends
+    (axon raises), and a dedupe that silently no-ops there was exactly the
+    round-4/5 on-chip `30_search_sync` crash — the first donated step
+    after a depth-clone growth poisoned the stream. Every alias growth
+    produces is a same-object alias (eager jnp ops always allocate fresh
+    buffers), so id() needs no pointer API; the pointer check remains as a
+    second net for backends that support it. Duplicates are broken with a
+    DEVICE-side copy — the old host round-trip costs two tunnel transfers
+    per duplicated leaf."""
     def ptr_of(leaf):
         try:
             return leaf.unsafe_buffer_pointer()
@@ -264,19 +274,17 @@ def _dedupe_buffers(flat: Dict) -> Dict:
         except Exception:
             return None
 
-    seen = set()
+    seen_ids = set()
+    seen_ptrs = set()
     out = {}
     for path, leaf in flat.items():
         ptr = ptr_of(leaf)
-        if ptr is not None and ptr in seen:
-            host = np.array(leaf)
-            try:
-                out[path] = jax.device_put(host, leaf.sharding)
-            except Exception:
-                out[path] = jax.device_put(host)
+        if id(leaf) in seen_ids or (ptr is not None and ptr in seen_ptrs):
+            out[path] = jnp.array(leaf, copy=True)
         else:
+            seen_ids.add(id(leaf))
             if ptr is not None:
-                seen.add(ptr)
+                seen_ptrs.add(ptr)
             out[path] = leaf
     return out
 
