@@ -165,6 +165,15 @@ def main():
         "qkv: mhsa_fused (boundary)": qkv_old_kernel,
         "qkv: mhsa_fused_qkv (new)": qkv_new_kernel,
     } if on_tpu else {}
+    if on_tpu:
+        # round-5 forward-restructure candidates (scripts/attn_variants.py):
+        # attack the fwd kernel's MXU<->VPU serialization (PERF.md r5)
+        from scripts.attn_variants import (_KERNELS,
+                                           mhsa_variant_with_shared_bwd)
+        for vname in _KERNELS:
+            vfn = mhsa_variant_with_shared_bwd(vname)
+            qkv_variants[f"qkv: variant {vname}"] = (
+                lambda x, f=vfn: f(x, heads, scale))
     for name, fn in qkv_variants.items():
         try:
             t_f = timeit1(fn)
