@@ -35,8 +35,12 @@ class TrainState:
         # ema_dtype=bfloat16 stores them half-width (see ops/rounding.py);
         # the initial cast is exact enough deterministically (the SR path
         # only matters for the small per-step increments).
+        # astype to the SAME dtype returns the same array object; aliased
+        # EMA trees would break the train step's donation on TPU exactly
+        # like the growth-remap aliasing (prog/growth.py:_dedupe_buffers)
         cast = (lambda p: jnp.copy(p)) if ema_dtype is None \
-            else (lambda p: p.astype(ema_dtype))
+            else (lambda p: jnp.copy(p) if p.dtype == ema_dtype
+                  else p.astype(ema_dtype))
         ema = tuple(jax.tree.map(cast, params) for _ in ema_decays)
         return cls(step=jnp.zeros((), jnp.int32), params=params,
                    batch_stats=batch_stats, opt_state=opt_state,
