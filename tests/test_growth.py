@@ -232,3 +232,41 @@ def test_super_shrink_equals_masked_supernet():
                                 x_input(), train=False)
     np.testing.assert_allclose(np.asarray(y_super), np.asarray(y_small),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_grown_trees_never_alias_buffers():
+    """Donation safety (round-5 on-chip postmortem): depth cloning maps
+    several destination layers to one source and `x.astype(x.dtype)`
+    returns the SAME array object, so without dedup the train step would
+    donate one buffer twice -> INVALID_ARGUMENT on TPU (CPU doesn't
+    enforce donation, hence this structural assert). Must hold even where
+    `unsafe_buffer_pointer` is unavailable (the axon PJRT backend raises
+    UNIMPLEMENTED — exactly the environment that crashed rounds 4/5)."""
+    from autoprog_tpu.prog.growth import _dedupe_buffers
+
+    mdef, _, v = init_params("deit_h2_l2")
+    grown_template = init_params("deit_h2_l4")[2]["params"]
+    grown = grow_params(v["params"], grown_template,
+                        src_layers=(2,), dst_layers=(4,), mode="clone")
+    leaves = jax.tree_util.tree_leaves(grown)
+    ids = [id(x) for x in leaves]
+    assert len(ids) == len(set(ids)), "grown tree has aliased leaves"
+
+    # direct unit check of the dedupe with a pointer API that raises
+    class NoPtr:
+        """array stand-in whose buffer-pointer API is unimplemented"""
+        def __init__(self, arr):
+            self.arr = arr
+            self.dtype = arr.dtype
+
+        def unsafe_buffer_pointer(self):
+            raise NotImplementedError("UNIMPLEMENTED (axon)")
+
+        def __array__(self, dtype=None, copy=None):
+            return np.asarray(self.arr, dtype=dtype)
+
+    shared = NoPtr(jnp.ones((4,)))
+    flat = {("a",): shared, ("b",): shared, ("c",): NoPtr(jnp.zeros((4,)))}
+    out = _dedupe_buffers(flat)
+    assert out[("b",)] is not out[("a",)]
+    assert out[("c",)] is flat[("c",)]  # non-duplicates pass through
