@@ -19,9 +19,13 @@ the kernel's favor).
 Backward is a second kernel that recomputes the probabilities
 (flash-style) and emits dq/dk/dv in one pass.
 
-Numerics: scores f32 (MXU preferred_element_type), softmax subtract-max
-and normalization in f32, probabilities cast to compute dtype for the AV
-matmul — the same discipline as the XLA path in models/layers.py.
+Numerics: qk accumulates f32 on the MXU; scores materialize at the
+COMPUTE dtype (bf16 in production — the same discipline as the XLA path
+in models/layers.py at N >= 128 and as the reference's apex-AMP fp16
+logits; AUTOPROG_ATTN_SCORES_F32=1 restores all-f32 scores); softmax
+subtract-max and normalization in f32; probabilities cast to compute
+dtype for the AV matmul. The backward recomputes scores at the same
+dtype, so it differentiates exactly the function the forward ran.
 """
 
 from __future__ import annotations
@@ -167,31 +171,74 @@ def _qkv_slices(qkv_ref, C: int, d: int, hi: int):
     return q, k, v
 
 
-def _fwd_kernel_qkv(scale, num_heads, qkv_ref, o_ref):
-    C = qkv_ref.shape[2] // 3
-    d = C // num_heads
-    for hi in range(num_heads):
-        q, k, v = _qkv_slices(qkv_ref, C, d, hi)
-        qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
-        s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
-        z = jnp.sum(e, axis=-1, keepdims=True)
-        o = jnp.dot(e.astype(v.dtype), v,
-                    preferred_element_type=jnp.float32)
-        o_ref[0, :, hi * d:(hi + 1) * d] = (o / z).astype(o_ref.dtype)
+#: park all heads' score matrices in VMEM (two-phase forward) only while
+#: they fit comfortably next to the [n, 3C] input block
+_TWOPHASE_VMEM_BUDGET = 4 * 1024 * 1024
 
 
-def _bwd_kernel_qkv(scale, num_heads, qkv_ref, do_ref, dqkv_ref):
+def _qk_scores(qkv_ref, C, d, scale, hi, score_dtype):
+    """q @ k^T in f32 on the MXU, materialized at score_dtype.
+
+    score_dtype follows the COMPUTE dtype by default (round 5): bf16
+    scores match the model's unfused XLA path at N >= 128 (layers.py
+    casts scaled logits to compute dtype; the reference under apex AMP
+    materializes fp16 logits) and measured +7% fwd+bwd on-chip
+    (PERF.md r5, 45_attn_opt). AUTOPROG_ATTN_SCORES_F32=1 restores the
+    all-f32 scores of rounds 1-4."""
+    q = qkv_ref[0, :, hi * d:(hi + 1) * d]
+    k = qkv_ref[0, :, C + hi * d:C + (hi + 1) * d]
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return s.astype(score_dtype)
+
+
+def _sm_av(qkv_ref, o_ref, C, d, hi, s):
+    """softmax rows of s (f32 accumulation) and the attend matmul."""
+    v = qkv_ref[0, :, 2 * C + hi * d:2 * C + (hi + 1) * d]
+    s = s.astype(jnp.float32)
+    e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+    z = jnp.sum(e, axis=-1, keepdims=True)
+    o = jnp.dot(e.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0, :, hi * d:(hi + 1) * d] = (o / z).astype(o_ref.dtype)
+
+
+def _fwd_kernel_qkv(scale, num_heads, scores_f32, qkv_ref, o_ref):
+    # Two-phase forward (round 5, measured +4.5% fwd+bwd bit-identical,
+    # +7% with compute-dtype scores): phase A issues every head's qk
+    # matmul back-to-back so the MXU passes pipeline like the backward's,
+    # phase B overlaps each head's VPU softmax with the next head's av
+    # matmul. Falls back to the per-head chain when parking all heads'
+    # scores would not fit VMEM (large-n supernet shapes).
+    n = qkv_ref.shape[1]
     C = qkv_ref.shape[2] // 3
     d = C // num_heads
+    sdt = jnp.float32 if scores_f32 else qkv_ref.dtype
+    if num_heads * n * n * jnp.dtype(sdt).itemsize <= _TWOPHASE_VMEM_BUDGET:
+        scores = [_qk_scores(qkv_ref, C, d, scale, hi, sdt)
+                  for hi in range(num_heads)]
+        for hi in range(num_heads):
+            _sm_av(qkv_ref, o_ref, C, d, hi, scores[hi])
+    else:
+        for hi in range(num_heads):
+            _sm_av(qkv_ref, o_ref, C, d, hi,
+                   _qk_scores(qkv_ref, C, d, scale, hi, sdt))
+
+
+def _bwd_kernel_qkv(scale, num_heads, scores_f32, qkv_ref, do_ref,
+                    dqkv_ref):
+    C = qkv_ref.shape[2] // 3
+    d = C // num_heads
+    sdt = jnp.float32 if scores_f32 else qkv_ref.dtype
     for hi in range(num_heads):
         q, k, v = _qkv_slices(qkv_ref, C, d, hi)
         do = do_ref[0, :, hi * d:(hi + 1) * d]
         qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
         s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        p = _softmax_rows(s)
+        # recompute at the SAME score dtype as the forward so the
+        # backward differentiates exactly the function the forward ran
+        p = _softmax_rows(s.astype(sdt).astype(jnp.float32))
         pc = p.astype(v.dtype)
         dv = jax.lax.dot_general(pc, do, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -232,11 +279,17 @@ def mhsa_fused_qkv(qkv, num_heads: int, scale: float,
     return _qkv_fwd_call(qkv, num_heads, scale, interpret)
 
 
-def _qkv_fwd_raw(qkv, num_heads, scale, interpret):
+def _scores_f32() -> bool:
+    import os
+    return os.environ.get("AUTOPROG_ATTN_SCORES_F32", "0") == "1"
+
+
+def _qkv_fwd_raw(qkv, num_heads, scale, interpret, scores_f32=None):
     B, n, C3 = qkv.shape
     C = C3 // 3
+    sf = _scores_f32() if scores_f32 is None else scores_f32
     return pl.pallas_call(
-        functools.partial(_fwd_kernel_qkv, scale, num_heads),
+        functools.partial(_fwd_kernel_qkv, scale, num_heads, sf),
         out_shape=jax.ShapeDtypeStruct((B, n, C), qkv.dtype),
         grid=(B,),
         in_specs=[_qkv_spec(n, C3)],
@@ -245,11 +298,12 @@ def _qkv_fwd_raw(qkv, num_heads, scale, interpret):
     )(qkv)
 
 
-def _qkv_bwd_raw(qkv, g, num_heads, scale, interpret):
+def _qkv_bwd_raw(qkv, g, num_heads, scale, interpret, scores_f32=None):
     B, n, C3 = qkv.shape
     C = C3 // 3
+    sf = _scores_f32() if scores_f32 is None else scores_f32
     return pl.pallas_call(
-        functools.partial(_bwd_kernel_qkv, scale, num_heads),
+        functools.partial(_bwd_kernel_qkv, scale, num_heads, sf),
         out_shape=jax.ShapeDtypeStruct((B, n, C3), qkv.dtype),
         grid=(B,),
         in_specs=[_qkv_spec(n, C3), _qkv_spec(n, C)],
@@ -283,11 +337,11 @@ def _batch_dim_partition(impl, n_args):
 
 
 @functools.lru_cache(maxsize=None)
-def _qkv_fwd_partitioned(num_heads, scale, interpret):
+def _qkv_fwd_partitioned(num_heads, scale, interpret, scores_f32):
     from jax.experimental.custom_partitioning import custom_partitioning
 
     def impl(qkv):
-        return _qkv_fwd_raw(qkv, num_heads, scale, interpret)
+        return _qkv_fwd_raw(qkv, num_heads, scale, interpret, scores_f32)
 
     cp = custom_partitioning(impl)
     partition, infer = _batch_dim_partition(impl, 1)
@@ -298,11 +352,11 @@ def _qkv_fwd_partitioned(num_heads, scale, interpret):
 
 
 @functools.lru_cache(maxsize=None)
-def _qkv_bwd_partitioned(num_heads, scale, interpret):
+def _qkv_bwd_partitioned(num_heads, scale, interpret, scores_f32):
     from jax.experimental.custom_partitioning import custom_partitioning
 
     def impl(qkv, g):
-        return _qkv_bwd_raw(qkv, g, num_heads, scale, interpret)
+        return _qkv_bwd_raw(qkv, g, num_heads, scale, interpret, scores_f32)
 
     cp = custom_partitioning(impl)
     partition, infer = _batch_dim_partition(impl, 2)
@@ -313,7 +367,8 @@ def _qkv_bwd_partitioned(num_heads, scale, interpret):
 
 
 def _qkv_fwd_call(qkv, num_heads, scale, interpret):
-    return _qkv_fwd_partitioned(num_heads, scale, interpret)(qkv)
+    return _qkv_fwd_partitioned(num_heads, scale, interpret,
+                                _scores_f32())(qkv)
 
 
 def _qkv_fwd(qkv, num_heads, scale, interpret):
@@ -322,7 +377,8 @@ def _qkv_fwd(qkv, num_heads, scale, interpret):
 
 def _qkv_bwd(num_heads, scale, interpret, res, g):
     (qkv,) = res
-    return (_qkv_bwd_partitioned(num_heads, scale, interpret)(qkv, g),)
+    return (_qkv_bwd_partitioned(num_heads, scale, interpret,
+                                 _scores_f32())(qkv, g),)
 
 
 mhsa_fused_qkv.defvjp(_qkv_fwd, _qkv_bwd)

@@ -130,3 +130,96 @@ def test_fused_qkv_grads_match():
     gf = jax.grad(loss_fused)(qkv)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                rtol=2e-4, atol=2e-5)
+
+
+# -- round-5 promoted forward: two-phase + compute-dtype scores -------------
+
+
+def xla_mhsa_qkv_bf16_scores(qkv, num_heads, scale):
+    """The layers.py N>=128 numerics: scores materialized at compute
+    dtype, softmax accumulated f32."""
+    B, n, C3 = qkv.shape
+    C = C3 // 3
+    d = C // num_heads
+    q, k, v = (jnp.moveaxis(qkv.reshape(B, n, 3, num_heads, d), 2, 0)[i]
+               for i in range(3))
+    s = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                   preferred_element_type=jnp.float32)
+    s = (s * scale).astype(qkv.dtype)
+    e = jnp.exp((s - s.max(axis=-1, keepdims=True)).astype(jnp.float32))
+    p = (e / e.sum(axis=-1, keepdims=True)).astype(qkv.dtype)
+    o = jnp.einsum("bhnm,bmhd->bnhd", p, v,
+                   preferred_element_type=jnp.float32).astype(qkv.dtype)
+    return o.reshape(B, n, C)
+
+
+def test_fused_qkv_bf16_scores_match_xla_bf16_path():
+    """With bf16 inputs the kernel's compute-dtype scores must track the
+    unfused XLA path's bf16-logit numerics (both deviate from the f32
+    formula by at most one bf16 rounding of the logits)."""
+    rs = np.random.RandomState(7)
+    qkv = jnp.asarray(rs.randn(2, 196, 3 * 2 * 32), jnp.bfloat16)
+    scale = 32 ** -0.5
+    ref = xla_mhsa_qkv_bf16_scores(qkv, 2, scale).astype(jnp.float32)
+    got = mhsa_fused_qkv(qkv, 2, scale, True).astype(jnp.float32)
+    # not bit-equal (scale rides q in the kernel, the logits in XLA) but
+    # both round the logits to bf16 — tolerances follow bf16 eps
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0.04, atol=0.04)
+
+
+def test_fused_qkv_scores_f32_env_restores_old_numerics(monkeypatch):
+    """AUTOPROG_ATTN_SCORES_F32=1 must reproduce the rounds-1-4 all-f32
+    scores: closer to the f32 reference than the bf16-score default."""
+    from autoprog_tpu.ops import attention_pallas as ap
+
+    rs = np.random.RandomState(8)
+    qkv = jnp.asarray(rs.randn(2, 64, 3 * 2 * 32), jnp.bfloat16)
+    scale = 32 ** -0.5
+    ref_f32 = xla_mhsa_qkv(qkv.astype(jnp.float32), 2, scale)
+
+    def err(out):
+        return float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref_f32)))
+
+    e_bf16 = err(ap._qkv_fwd_raw(qkv, 2, scale, True, scores_f32=False))
+    e_f32 = err(ap._qkv_fwd_raw(qkv, 2, scale, True, scores_f32=True))
+    monkeypatch.setenv("AUTOPROG_ATTN_SCORES_F32", "1")
+    e_env = err(ap._qkv_fwd_raw(qkv, 2, scale, True))
+    assert e_env == e_f32
+    assert e_f32 <= e_bf16
+
+
+def test_fused_qkv_twophase_fallback_bit_identical(monkeypatch):
+    """The large-n fallback (scores too big to park in VMEM) reorders
+    per-head work only — it must be bit-identical to the two-phase path."""
+    from autoprog_tpu.ops import attention_pallas as ap
+
+    rs = np.random.RandomState(9)
+    qkv = jnp.asarray(rs.randn(2, 196, 3 * 2 * 32), jnp.bfloat16)
+    scale = 32 ** -0.5
+    two = ap._qkv_fwd_raw(qkv, 2, scale, True)
+    monkeypatch.setattr(ap, "_TWOPHASE_VMEM_BUDGET", 0)
+    one = ap._qkv_fwd_raw(qkv, 2, scale, True)
+    assert bool(jnp.all(two == one))
+
+
+def test_fused_qkv_bf16_grads_consistent():
+    """Backward recompute at the forward's score dtype: the custom VJP of
+    the bf16-score kernel must match autodiff THROUGH the bf16-score
+    formula (not the f32 one)."""
+    rs = np.random.RandomState(10)
+    qkv = jnp.asarray(rs.randn(1, 64, 3 * 2 * 32), jnp.bfloat16)
+    scale = 32 ** -0.5
+
+    def loss_ref(x):
+        return jnp.sum(
+            xla_mhsa_qkv_bf16_scores(x, 2, scale).astype(jnp.float32) ** 2)
+
+    def loss_fused(x):
+        return jnp.sum(
+            mhsa_fused_qkv(x, 2, scale, True).astype(jnp.float32) ** 2)
+
+    gr = jax.grad(loss_ref)(qkv).astype(jnp.float32)
+    gf = jax.grad(loss_fused)(qkv).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=0.1, atol=0.05)
