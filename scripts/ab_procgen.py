@@ -57,6 +57,31 @@ def _train_time(out: str) -> float:
     return float(m[-1]) if m else float("nan")
 
 
+def _completed_result(out: str):
+    """(best_top1, train_s) from a PRIOR completed run in `out`, else None.
+
+    Both trainers log '*** Best metric:' then 'total train time:' only
+    after the final epoch (main.py:102-104, main_prog.py:313-315), so a
+    log carrying both lines is a finished arm and the values are exactly
+    what run_fixed/run_autoprog would have returned. A run hard-killed
+    mid-way (e.g. a chip-job timeout backstop) lacks them and is re-run.
+    This makes retry attempts incremental: completed arms from earlier
+    attempts are reused, never re-trained.
+    """
+    import glob
+    import re
+    logs = sorted(glob.glob(os.path.join(out, "train", "*", "log.txt")))
+    if not logs:
+        return None
+    with open(logs[-1]) as f:
+        text = f.read()
+    best = re.findall(r"\*\*\* Best metric: ([0-9.]+)", text)
+    tsec = re.findall(r"total train time: ([0-9.]+)s", text)
+    if not best or not tsec:
+        return None
+    return float(best[-1]), float(tsec[-1])
+
+
 def run_fixed(a, out: str, seed: int):
     from autoprog_tpu.main import main
     best = main(["procgen://", "--model", a.model,
@@ -96,23 +121,48 @@ def main() -> None:
     p.add_argument("--root", default=os.path.join(
         os.path.dirname(__file__), "..", "output", "procgen_runs"))
     p.add_argument("--deadline-ts", type=float, default=0.0,
-                   help="unix timestamp: start no new seed pair past this "
+                   help="unix timestamp: start no new ARM past this "
                         "(graceful stop — NEVER kill a running TPU client; "
-                        "completed pairs are summarized)")
+                        "completed pairs are summarized; arms already "
+                        "completed by prior attempts are reused for free)")
+    p.add_argument("--summarize-only", action="store_true",
+                   help="no training (no jax touch): parse whatever "
+                        "completed arm pairs exist under --root and print "
+                        "the summary table — salvages evidence from a run "
+                        "the timeout backstop killed")
     a = p.parse_args()
 
     rows = []
+    stopped = False
     for seed in a.seeds:
-        if a.deadline_ts and time.time() > a.deadline_ts:
-            print(f"[deadline] stopping before seed {seed}: past "
-                  f"--deadline-ts; {len(rows)} completed pair(s) summarized",
-                  flush=True)
+        if stopped:
             break
         t0 = time.perf_counter()
-        fixed_top1, fixed_tr = run_fixed(
-            a, os.path.join(a.root, f"fixed_s{seed}"), seed)
-        auto_top1, auto_tr = run_autoprog(
-            a, os.path.join(a.root, f"autoprog_s{seed}"), seed)
+        pair = []
+        for label, runner in (("fixed", run_fixed),
+                              ("autoprog", run_autoprog)):
+            out = os.path.join(a.root, f"{label}_s{seed}")
+            prior = _completed_result(out)
+            if prior is not None:
+                print(f"[reuse] {label} s{seed}: top1 {prior[0]:.2f} "
+                      f"({prior[1]:.0f}s) from a prior completed run",
+                      flush=True)
+                pair.append(prior)
+                continue
+            if a.summarize_only:
+                print(f"[summarize-only] {label} s{seed}: no completed "
+                      "run; pair skipped", flush=True)
+                break
+            if a.deadline_ts and time.time() > a.deadline_ts:
+                print(f"[deadline] stopping before {label} s{seed}: past "
+                      f"--deadline-ts; {len(rows)} completed pair(s) "
+                      "summarized", flush=True)
+                stopped = True
+                break
+            pair.append(runner(a, out, seed))
+        if len(pair) != 2:
+            continue
+        (fixed_top1, fixed_tr), (auto_top1, auto_tr) = pair
         rows.append((seed, fixed_top1, fixed_tr, auto_top1, auto_tr))
         print(f"[seed {seed}] fixed {fixed_top1:.2f} ({fixed_tr:.0f}s)  "
               f"autoprog {auto_top1:.2f} ({auto_tr:.0f}s)  "
@@ -123,7 +173,9 @@ def main() -> None:
     if not rows:
         # nonzero exit: the chip-queue runner marks rc==0 jobs .done
         # permanently — a zero-evidence run must stay retryable
-        print("no completed seed pairs (deadline hit before the first)")
+        print("no completed seed pairs"
+              + ("" if a.summarize_only
+                 else " (deadline hit before the first)"))
         sys.exit(4)
     import numpy as np
     f = np.array([r[1] for r in rows], float)
