@@ -79,12 +79,19 @@ class TrainContext:
 
 
 def model_kwargs(args, dp: float, dtype) -> Dict[str, Any]:
-    return dict(num_classes=args.num_classes or 1000,
-                img_size=(args.img_size or 224), drop_rate=args.drop,
-                drop_path_rate=dp, dtype=dtype,
-                mix_token=bool(args.token_label),
-                return_dense=bool(args.token_label),
-                remat=getattr(args, "remat", False))
+    kw = dict(num_classes=args.num_classes or 1000,
+              img_size=(args.img_size or 224), drop_rate=args.drop,
+              drop_path_rate=dp, dtype=dtype,
+              mix_token=bool(args.token_label),
+              return_dense=bool(args.token_label),
+              remat=getattr(args, "remat", False))
+    # --bn-momentum follows the torch convention the reference CLI uses
+    # (new = (1-m)*old + m*batch); flax BatchNorm's is the complement
+    if getattr(args, "bn_momentum", None) is not None:
+        kw["bn_momentum"] = 1.0 - args.bn_momentum
+    if getattr(args, "bn_eps", None) is not None:
+        kw["bn_eps"] = args.bn_eps
+    return kw
 
 
 def init_model_state(ctx: TrainContext, model_name: str, dp: float,

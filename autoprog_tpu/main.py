@@ -64,12 +64,16 @@ def main(argv=None):
         engine.evaluate_all(ctx, loader_eval)
     elif args.start_epoch is not None:
         start_epoch = args.start_epoch
-    if args.finetune:
+    # --finetune adapts head/pos-embed; --initial-checkpoint is timm's
+    # load-at-create (same shape-safe loader; identical-shape leaves load
+    # exactly). --finetune wins when both are given.
+    init_ckpt = args.finetune or getattr(args, "initial_checkpoint", "")
+    if init_ckpt:
         from autoprog_tpu.finetune import load_pretrained_weights
         from autoprog_tpu.parallel.mesh import replicate
         ctx.state = ctx.state.replace(params=replicate(
             ctx.mesh, load_pretrained_weights(
-                ctx.state.params, args.finetune, use_ema=args.model_ema,
+                ctx.state.params, init_ckpt, use_ema=args.model_ema,
                 num_classes=args.num_classes)))
         engine.evaluate_all(ctx, loader_eval)
 

@@ -193,16 +193,18 @@ def main(argv=None):
         engine.evaluate_all(ctx, loader_eval)
     if args.start_epoch is not None:
         start_epoch = args.start_epoch
-    if args.finetune and not args.resume:
+    init_ckpt = args.finetune or getattr(args, "initial_checkpoint", "")
+    if init_ckpt and not args.resume:
         # pretrained init for progressive training too (the reference
-        # wires --finetune into main_prog at `main_prog.py:433-438`);
+        # wires --finetune into main_prog at `main_prog.py:433-438`;
+        # --initial-checkpoint is timm's load-at-create, same loader);
         # loaded into the stage-0 model — blocks absent at this depth
         # keep their init and are grown later
         from autoprog_tpu.finetune import load_pretrained_weights
         from autoprog_tpu.parallel.mesh import replicate
         ctx.state = ctx.state.replace(params=replicate(
             ctx.mesh, load_pretrained_weights(
-                ctx.state.params, args.finetune, use_ema=args.model_ema,
+                ctx.state.params, init_ckpt, use_ema=args.model_ema,
                 num_classes=args.num_classes)))
         engine.evaluate_all(ctx, loader_eval)
 

@@ -93,10 +93,17 @@ class ModelDef:
              mix_token: Optional[bool] = None,
              return_dense: Optional[bool] = None,
              sync_bn_axis: Optional[str] = None,
+             bn_momentum: Optional[float] = None,
+             bn_eps: Optional[float] = None,
              remat: bool = False,
              aux_fusion: str = "max",
              **unused):
         a = self.arch
+        bn_kw = {}
+        if bn_momentum is not None:
+            bn_kw["bn_momentum"] = bn_momentum
+        if bn_eps is not None:
+            bn_kw["bn_eps"] = bn_eps
         if isinstance(a, VoloArch):
             return VOLO(
                 layers=a.layers, embed_dims=a.embed_dims,
@@ -111,7 +118,7 @@ class ModelDef:
                 mix_token=True if mix_token is None else mix_token,
                 return_dense=True if return_dense is None else return_dense,
                 dtype=dtype, sync_bn_axis=sync_bn_axis, remat=remat,
-                aux_fusion=aux_fusion)
+                aux_fusion=aux_fusion, **bn_kw)
         if isinstance(a, DeitArch):
             return VisionTransformer(
                 embed_dim=a.embed_dim, depth=a.depth, num_heads=a.num_heads,

@@ -375,20 +375,20 @@ class PatchEmbed(nn.Module):
     hidden_dim: int = 64
     stem_conv: bool = True
     dtype: Dtype = jnp.bfloat16
+    bn_momentum: float = 0.9
+    bn_eps: float = 1e-5
     sync_bn_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         if self.stem_conv:
-            x = ConvBnRelu(self.hidden_dim, 7, self.stem_stride,
-                           dtype=self.dtype, sync_bn_axis=self.sync_bn_axis,
-                           name="stem0")(x, train=train)
-            x = ConvBnRelu(self.hidden_dim, 3, 1, dtype=self.dtype,
-                           sync_bn_axis=self.sync_bn_axis,
-                           name="stem1")(x, train=train)
-            x = ConvBnRelu(self.hidden_dim, 3, 1, dtype=self.dtype,
-                           sync_bn_axis=self.sync_bn_axis,
-                           name="stem2")(x, train=train)
+            for i, (k, s) in enumerate(((7, self.stem_stride),
+                                        (3, 1), (3, 1))):
+                x = ConvBnRelu(self.hidden_dim, k, s, dtype=self.dtype,
+                               bn_momentum=self.bn_momentum,
+                               bn_eps=self.bn_eps,
+                               sync_bn_axis=self.sync_bn_axis,
+                               name=f"stem{i}")(x, train=train)
         ps = self.patch_size // self.stem_stride if self.stem_conv else self.patch_size
         x = nn.Conv(self.embed_dim, (ps, ps), strides=(ps, ps),
                     padding="VALID", dtype=self.dtype,

@@ -66,6 +66,8 @@ class VOLO(nn.Module):
     out_padding: int = 1
     aux_fusion: str = "max"  # eval fusion over aux tokens: "max" | "mean"
     dtype: jnp.dtype = jnp.bfloat16
+    bn_momentum: float = 0.9   # flax convention: ra = m*ra + (1-m)*batch
+    bn_eps: float = 1e-5
     sync_bn_axis: Optional[str] = None
     remat: Any = False  # False | True/"full" | "dots" (layers.remat_wrap)
 
@@ -87,6 +89,7 @@ class VOLO(nn.Module):
         x = PatchEmbed(embed_dim=self.embed_dims[0],
                        patch_size=self.patch_size, stem_stride=2,
                        hidden_dim=self.stem_hidden_dim, dtype=self.dtype,
+                       bn_momentum=self.bn_momentum, bn_eps=self.bn_eps,
                        sync_bn_axis=self.sync_bn_axis,
                        name="patch_embed")(x, train=train)  # [B, r/8, r/8, C0]
 
