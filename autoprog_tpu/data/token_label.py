@@ -77,3 +77,83 @@ def build_token_label_target(labels: jax.Array, scores: jax.Array,
     tokens_cf = jnp.swapaxes(tok, 1, 2)                    # [B, C, N]
     return jnp.concatenate(
         [gt[:, :, None], cls_target[:, :, None], tokens_cf], axis=2)
+
+
+# ---------------- sparse target path (AUTOPROG_SPARSE_TL=1) ----------------
+#
+# The dense layout above materializes [B, C, 2+N] (~100 MB f32 at the
+# flagship shape) plus two full-C resize passes, only for the loss to
+# contract it against log-probabilities. The top-K store makes the per-token
+# target ≤ 4K-sparse even after bilinear regridding (each destination token
+# mixes ≤ 2x2 source positions x K ranks), so the aux CE can gather K'
+# log-probs per token instead of reading a dense map. Same math — see
+# losses.sparse paths; parity is test-asserted (tests/test_sparse_tl.py).
+
+def _resize_taps(src: int, dst: int):
+    """Static bilinear taps matching jax.image.resize(antialias=False):
+    output i samples x = (i+0.5)*src/dst - 0.5, linear between floor/ceil,
+    edge-clamped. Returns (i0, i1, w0, w1) as numpy int/float arrays."""
+    import numpy as np
+    if src == dst:
+        idx = np.arange(src)
+        return idx, idx, np.ones(src, np.float32), np.zeros(src, np.float32)
+    x = (np.arange(dst) + 0.5) * (src / dst) - 0.5
+    i0 = np.floor(x).astype(np.int64)
+    w1 = (x - i0).astype(np.float32)
+    i1 = np.clip(i0 + 1, 0, src - 1)
+    i0 = np.clip(i0, 0, src - 1)
+    return i0, i1, 1.0 - w1, w1
+
+
+def sparse_token_label_target(labels: jax.Array, scores: jax.Array,
+                              inds: jax.Array, *, num_classes: int,
+                              smoothing: float, label_size: int,
+                              gt_soft=None) -> dict:
+    """Sparse equivalent of `build_token_label_target`:
+
+      {"gt": [B, C], "cls": [B, C],
+       "vals": [B, N, K'], "inds": [B, N, K'], "u": [B, N]}
+
+    where per token t[c] = sum_k vals[k]*[inds[k]==c] + u (the smoothing
+    floor), i.e. vals carry the (1-s)/Z renormalized top-K mass and
+    u = s/(C*Z). K' = K when the stored grid equals the token grid,
+    else 4K (2x2 bilinear taps, duplicate class inds simply add)."""
+    B, K, H, W = scores.shape
+    n = label_size
+    scores = scores.astype(jnp.float32)
+    if (H, W) == (n, n):
+        v = scores                                     # [B, K, n, n]
+        ix = inds
+    else:
+        h0, h1, wh0, wh1 = _resize_taps(H, n)
+        w0, w1, ww0, ww1 = _resize_taps(W, n)
+        taps = []
+        for hi, hw in ((h0, wh0), (h1, wh1)):
+            for wi, ww in ((w0, ww0), (w1, ww1)):
+                wt = jnp.asarray(hw)[:, None] * jnp.asarray(ww)[None, :]
+                taps.append((scores[:, :, hi][:, :, :, wi] * wt,
+                             inds[:, :, hi][:, :, :, wi]))
+        v = jnp.concatenate([t[0] for t in taps], axis=1)  # [B, 4K, n, n]
+        ix = jnp.concatenate([t[1] for t in taps], axis=1)
+    Kp = v.shape[1]
+    # [B, Kp, n, n] -> [B, N, Kp]
+    v = v.reshape(B, Kp, n * n).transpose(0, 2, 1)
+    ix = ix.reshape(B, Kp, n * n).transpose(0, 2, 1)
+
+    # cls "relabel" row: mean of the (resized) dense map over tokens,
+    # normalized — identical sums to the dense path's dense.mean((1, 2))
+    b_iota = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+    mean_map = jnp.zeros((B, num_classes), jnp.float32).at[
+        b_iota, ix].add(v) / (n * n)
+    mass = mean_map.sum(-1, keepdims=True)
+    relabel = jnp.where(mass > 0.05, mean_map / jnp.clip(mass, 1e-6, None),
+                        jax.nn.one_hot(labels, num_classes))
+    cls_target = (1.0 - smoothing) * relabel + smoothing / num_classes
+
+    gt = gt_soft if gt_soft is not None else smooth_one_hot(
+        labels, num_classes, smoothing)
+
+    z = jnp.clip((1.0 - smoothing) * v.sum(-1) + smoothing, 1e-6, None)
+    return {"gt": gt, "cls": cls_target,
+            "vals": (1.0 - smoothing) * v / z[..., None], "inds": ix,
+            "u": smoothing / num_classes / z}

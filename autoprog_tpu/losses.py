@@ -51,11 +51,36 @@ def _mix_cls_target(target_cls: jax.Array, bbox: jax.Array,
     return lam * target_cls + (1.0 - lam) * jnp.flip(target_cls, axis=0)
 
 
+def _sparse_aux_ce(x_aux: jax.Array, st: dict) -> jax.Array:
+    """Aux-token soft CE against the sparse target dict from
+    `data/token_label.sparse_token_label_target` — algebraically equal to
+    `_soft_ce(x_aux.reshape(-1, C), dense_target)`:
+
+      sum_c -t[c]*logp[c] = -(sum_k vals_k*logp[inds_k] + u*sum_c logp[c])
+
+    Gathers K' log-probs per token instead of materializing the [B*N, C]
+    dense target (and its two full-C resize passes) — the HBM cut behind
+    AUTOPROG_SPARSE_TL (PERF.md r5)."""
+    B, N, C = x_aux.shape
+    x = x_aux.reshape(B * N, C).astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(x, axis=-1)
+    sum_logp = x.sum(-1) - C * lse
+    v = st["vals"].reshape(B * N, -1)
+    g = jnp.take_along_axis(x, st["inds"].reshape(B * N, -1), axis=-1) \
+        - lse[:, None]
+    row = (v * g).sum(-1) + st["u"].reshape(B * N) * sum_logp
+    return -jnp.mean(row)
+
+
 def token_label_cross_entropy(outputs, target, *, dense_weight: float = 0.5,
                               cls_weight: float = 1.0) -> jax.Array:
     """TokenLabelCrossEntropy (`loss/cross_entropy.py:112-156`)."""
     x_cls, x_aux, bbox = outputs
     B, N, C = x_aux.shape
+    if isinstance(target, dict):
+        target_cls = _mix_cls_target(target["cls"], bbox, N)
+        return (cls_weight * _soft_ce(x_cls, target_cls)
+                + dense_weight * _sparse_aux_ce(x_aux, target))
     if target.ndim == 2:
         target_cls = target
         target_aux = jnp.tile(target[:, None, :], (1, N, 1)).reshape(B * N, C)
@@ -75,6 +100,14 @@ def token_label_gt_cross_entropy(outputs, target, *, dense_weight: float = 0.5,
     depending on whether their argmaxes agree."""
     x_cls, x_aux, bbox = outputs
     B, N, C = x_aux.shape
+    if isinstance(target, dict):
+        ground_truth, target_cls = target["gt"], target["cls"]
+        agree = (jnp.argmax(ground_truth, -1) == jnp.argmax(target_cls, -1))
+        ratio = (0.9 - 0.4 * agree.astype(jnp.float32))[:, None]
+        target_cls = target_cls * ratio + ground_truth * (1.0 - ratio)
+        target_cls = _mix_cls_target(target_cls, bbox, N)
+        return (cls_weight * _soft_ce(x_cls, target_cls)
+                + dense_weight * _sparse_aux_ce(x_aux, target))
     if target.ndim == 2:
         target_cls = target
         target_aux = jnp.tile(target[:, None, :], (1, N, 1)).reshape(B * N, C)
@@ -142,6 +175,9 @@ def build_train_loss(args):
                 out[0] if isinstance(out, tuple) else out, tgt)
         fn = token_label_gt_cross_entropy if args.ground_truth else token_label_cross_entropy
         dw, cw = args.dense_weight, args.cls_weight
-        return lambda out, tgt: fn(out, tgt, dense_weight=dw, cls_weight=cw)
+        wrapped = lambda out, tgt: fn(out, tgt, dense_weight=dw,
+                                      cls_weight=cw)
+        wrapped.supports_sparse_tl = True
+        return wrapped
     return lambda out, tgt: soft_target_cross_entropy(
         out[0] if isinstance(out, tuple) else out, tgt)

@@ -39,9 +39,16 @@ def main(argv=None):
         raise SystemExit(
             f"per-host batch size {per_host} must be divisible by "
             f"--batch-splits {args.batch_splits}")
-    ctx = engine.setup(args, args_text, prog=False, output_dir=output_dir)
-    img_size = args.img_size or ctx.data_config["input_size"][-1]
+    # the reference overwrites token_label_size from the resolution
+    # (`main_prog.py:639`) BEFORE loss selection — with the stale default
+    # of 1 the loss builder would pick the relabel-style loss against a
+    # dense token map (setup() builds the loss, so this must precede it)
+    from autoprog_tpu.config import resolve_data_config
+    from autoprog_tpu.registry import create_model
+    img_size = args.img_size or resolve_data_config(
+        args, create_model(args.model).default_cfg)["input_size"][-1]
     args.token_label_size = img_size // 16
+    ctx = engine.setup(args, args_text, prog=False, output_dir=output_dir)
 
     loader_train = engine.make_train_loader(
         ctx, aa=args.aa, re_prob=args.reprob, resize=args.scale)

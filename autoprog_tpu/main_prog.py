@@ -141,9 +141,13 @@ def main(argv=None):
                re=sched.random_erase[0], resize=sched.crop_scale[0])
     args.model = f"{family}_h{cur['h']}_l{cur['l']}"
 
+    # must precede setup(): the loss is selected there, and the reference
+    # overwrites token_label_size from the stage resolution before loss
+    # selection (`main_prog.py:639,717`) — the stale default of 1 would
+    # pick the relabel-style loss against dense token maps
+    args.token_label_size = cur["r"] // 16
     ctx = engine.setup(args, args_text, prog=True,
                        output_dir=output_dir, initial_model=args.model)
-    args.token_label_size = cur["r"] // 16
 
     # dynamic grad-accum scaling by activation ratio (`main_prog.py:568-574`)
     original_splits = args.batch_splits_list[-1]

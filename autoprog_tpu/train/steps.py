@@ -152,6 +152,19 @@ class StepBuilder:
         if "soft_target" in batch:
             return batch["soft_target"]
         if self.token_label and self.has_token_label_data and "label_scores" in batch:
+            import os
+            if os.environ.get("AUTOPROG_SPARSE_TL", "0") == "1" and \
+                    getattr(self.train_loss, "supports_sparse_tl", False):
+                # sparse top-K targets: the token-label losses gather K'
+                # log-probs per token instead of contracting a dense
+                # [B, C, 2+N] map (data/token_label.py; A/B knob, PERF r5)
+                from autoprog_tpu.data.token_label import \
+                    sparse_token_label_target
+                return sparse_token_label_target(
+                    batch["label"], batch["label_scores"],
+                    batch["label_inds"], num_classes=self.num_classes,
+                    smoothing=self.smoothing, label_size=r // 16,
+                    gt_soft=batch.get("gt_soft"))
             return build_token_label_target(
                 batch["label"], batch["label_scores"], batch["label_inds"],
                 num_classes=self.num_classes, smoothing=self.smoothing,

@@ -305,3 +305,16 @@ def test_main_prog_autogrow_volo_d2(tmp_path):
     assert g.glob(str(tmp_path / "train" / "*" / "last-search.ckpt"))
     assert any(e.get("l") == 24 for e in hist), hist
     assert main_prog.LAST_CTX.mdef.name == "volo_h16_l24"
+
+
+def test_main_token_label_cli(tmp_path):
+    """--token-label end-to-end through the CLI: token_label_size must be
+    resolved from the resolution BEFORE the loss is selected (reference
+    `main_prog.py:639,717`) — with the stale default of 1 the relabel-
+    style loss met a dense [B, C, 2+N] map and the step crashed."""
+    from autoprog_tpu.main import main
+    best = main(COMMON + [
+        "--model", "volo_h2_l2", "--img-size", "32", "--epochs", "1",
+        "--token-label", "--token-label-data", "synthetic",
+        "--output", str(tmp_path)])
+    assert best is not None and 0 <= best <= 100
