@@ -1,10 +1,10 @@
 #!/bin/bash
-# the 128px non-toy procgen 3-seed leg. ab_procgen reuses arms completed
-# by prior attempts and stops gracefully at --deadline-ts (never kill a
-# running TPU client). Budget shape: graceful deadline at 2h; backstop at
-# 4h — the 2h gap exceeds the longest single arm (fixed @30ep ~1.6h), so
-# any arm STARTED before the deadline finishes before the backstop and
-# the SIGTERM path never fires on a live TPU client.
+# RETRY content (attempt 1 ran the full 3-seed matrix and was backstop-
+# SIGTERMed): salvage the seed-42 pair only. ab_procgen reuses arms
+# completed by prior attempts, so this reuses the finished fixed arm,
+# reruns (or reuses) the autoprog arm, summarizes, and exits — no
+# further seeds. Graceful deadline 90 min > one autoprog arm @128px;
+# backstop 3h so SIGTERM never hits a live TPU client.
 set -u
-exec timeout 14400 python scripts/ab_procgen.py --img-size 128 \
-    --deadline-ts $(($(date +%s) + 7200))
+exec timeout 10800 python scripts/ab_procgen.py --img-size 128 \
+    --seeds 42 --deadline-ts $(($(date +%s) + 5400))
