@@ -32,33 +32,40 @@ def bf16_state_knobs(args):
     AUTOPROG_BENCH_MU_BF16=1 sets args.adam_mu_bf16 for create_optimizer.
 
     With NEITHER env var set, falls back to `output/bench_autotune.json`
-    when present — written by the on-chip A/B job
-    (scripts/chip_jobs/10_ema_bf16_ab.sh) iff a bf16-state config beat the
-    f32 baseline by >=1%, so the headline bench reports the measured-best
-    numerics-gated config (the A/B logs next to it prove the choice)."""
+    when present — written by the on-chip A/B jobs
+    (scripts/chip_jobs/10_ema_bf16_ab.sh, 42_sparse_tl.sh) iff a config
+    beat the baseline by >=1%, so the headline bench reports the
+    measured-best numerics-gated config (the A/B logs next to it prove
+    the choice). The same file can carry `sparse_tl` (sparse token-label
+    targets, data/token_label.py) — applied via the AUTOPROG_SPARSE_TL
+    env StepBuilder reads, unless that env is already set."""
     import os
     import sys
 
     import jax.numpy as jnp
 
+    tuned = {}
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "output", "bench_autotune.json")
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                tuned = json.load(f)
+        except (ValueError, OSError) as e:
+            # a truncated/unreadable file must never break the bench's
+            # one-JSON-line output contract — ignore it loudly
+            print(f"# bench_autotune.json ignored (unreadable: {e})",
+                  file=sys.stderr)
     ema = os.environ.get("AUTOPROG_BENCH_EMA_BF16")
     mu = os.environ.get("AUTOPROG_BENCH_MU_BF16")
-    if ema is None and mu is None:
-        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "output", "bench_autotune.json")
-        if os.path.exists(path):
-            try:
-                with open(path) as f:
-                    tuned = json.load(f)
-                ema = "1" if tuned.get("ema_bf16") else "0"
-                mu = "1" if tuned.get("mu_bf16") else "0"
-                print(f"# bench_autotune.json applied: {tuned}",
-                      file=sys.stderr)
-            except (ValueError, OSError) as e:
-                # a truncated/unreadable file must never break the bench's
-                # one-JSON-line output contract — ignore it loudly
-                print(f"# bench_autotune.json ignored (unreadable: {e})",
-                      file=sys.stderr)
+    if tuned and ema is None and mu is None:
+        ema = "1" if tuned.get("ema_bf16") else "0"
+        mu = "1" if tuned.get("mu_bf16") else "0"
+        print(f"# bench_autotune.json state config applied: {tuned}",
+              file=sys.stderr)
+    if tuned.get("sparse_tl") and "AUTOPROG_SPARSE_TL" not in os.environ:
+        os.environ["AUTOPROG_SPARSE_TL"] = "1"
+        print("# bench_autotune.json sparse_tl applied", file=sys.stderr)
     if mu == "1":
         args.adam_mu_bf16 = True
     return jnp.bfloat16 if ema == "1" else None

@@ -68,10 +68,26 @@ def main() -> int:
         results[tag] = res["value"]
     base, sparse = results["densetl"], results["sparsetl"]
     rel = sparse / base - 1.0
-    verdict = "WIN — promote sparse as default" if rel >= 0.01 else \
+    win = rel >= 0.01
+    verdict = "WIN — promote sparse as default" if win else \
         "REJECTED (<1% or regression) — keep dense default"
     print(f"[ab_sparse_tl] dense {base:.1f} vs sparse {sparse:.1f} img/s "
           f"({rel * 100:+.2f}%): {verdict}", flush=True)
+    # record the decision where bench.py adopts it (bf16_state_knobs reads
+    # `sparse_tl` and sets AUTOPROG_SPARSE_TL for StepBuilder) — merged so
+    # a bf16-state adoption written by job 10 is preserved
+    autotune = os.path.join(OUT, "bench_autotune.json")
+    tuned = {}
+    if os.path.exists(autotune):
+        try:
+            with open(autotune) as f:
+                tuned = json.load(f)
+        except (ValueError, OSError):
+            tuned = {}
+    tuned["sparse_tl"] = bool(win)
+    with open(autotune, "w") as f:
+        json.dump(tuned, f)
+    print(f"[ab_sparse_tl] bench_autotune.json <- {tuned}", flush=True)
     return 0
 
 
